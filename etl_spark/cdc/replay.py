@@ -1,0 +1,131 @@
+"""CDC replay: event batch -> staged latest-wins rows -> MERGE.
+
+Pipeline (all native column expressions — no per-row Python; the only
+pandas UDF in the engine is the optional canonical-bytes hasher in
+etl_spark.functions.checksum):
+
+  canonicalize -> latest-wins dedup per (repo, path) -> content_sha256
+  -> LakeTable.merge_cdc
+
+Latest-wins dedup is the reference's sort+keep-last
+(etl/data_helpers/geo.py:755-760) made order-safe under parallelism:
+resolution is ALWAYS by ``seq`` (the WAL order), never by arrival
+order, so any repartition/salt in between cannot change the answer —
+SURVEY.md "hard part #1".
+
+Skew: hot repos concentrate events on few keys. Two mitigations, both
+tested:
+- default: ``max_by`` aggregate dedup — declarative agg => Spark does
+  map-side partial aggregation (each input partition reduces its own
+  hot-key rows locally before the shuffle). This is implicit salting.
+- explicit: ``dedup_latest_salted`` — two-phase groupBy with a salt
+  column, for the case where per-key payloads are so wide that even
+  partial-agg rows are heavy; demonstrates the salted-repartition
+  pattern from the north rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEY = ["repo", "path"]
+BASE_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def canonicalize(events: DataFrame) -> DataFrame:
+    """Normalize exactly one way (the reference's underscore-everything
+    discipline, lib/catalog/owid/catalog/utils.py:17-26): trim key
+    columns, lowercase op, drop rows with null keys."""
+    return (
+        events.withColumn("repo", F.trim(F.col("repo")))
+        .withColumn("path", F.trim(F.col("path")))
+        .withColumn("op", F.lower(F.trim(F.col("op"))))
+        .filter(F.col("repo").isNotNull() & F.col("path").isNotNull())
+    )
+
+
+def dedup_latest(events: DataFrame, keys: list[str] = KEY, seq_col: str = "seq") -> DataFrame:
+    """One row per key: the event with max seq. max_by(struct, seq) is
+    a declarative aggregate -> map-side combine handles hot keys."""
+    cols = events.columns
+    return (
+        events.groupBy(*keys)
+        .agg(F.max_by(F.struct(*cols), F.col(seq_col)).alias("_r"))
+        .select("_r.*")
+    )
+
+
+def dedup_latest_salted(
+    events: DataFrame, keys: list[str] = KEY, seq_col: str = "seq", salt_buckets: int = 32
+) -> DataFrame:
+    """Explicit two-phase salted reduction: partial max per (key, salt)
+    then final max per key. Same result as dedup_latest (resolution by
+    seq), with the first shuffle spread over ``salt_buckets`` sub-keys
+    so no single reducer owns a hot key's full event stream."""
+    cols = events.columns
+    salted = events.withColumn("_salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets)))
+    partial = (
+        salted.groupBy(*keys, "_salt")
+        .agg(F.max_by(F.struct(*cols), F.col(seq_col)).alias("_r"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.max_by(F.col("_r"), F.col(f"_r.{seq_col}")).alias("_r"))
+        .select("_r.*")
+    )
+
+
+def with_content_sha256(df: DataFrame) -> DataFrame:
+    """Per-row content checksum — the reference's step-input checksum
+    (etl/steps/__init__.py:451-466) shrunk to row granularity. Native
+    ``sha2`` (JVM, codegen) == hashlib.sha256(utf8).hexdigest()."""
+    return df.withColumn(
+        "content_sha256",
+        F.when(F.col("content").isNotNull(), F.sha2(F.col("content"), 256)),
+    )
+
+
+def stage_batch(events: DataFrame, salted: bool = False, salt_buckets: int = 32) -> DataFrame:
+    """events -> one staged row per key, checksummed, ready to MERGE."""
+    ev = canonicalize(events)
+    dd = dedup_latest_salted(ev, salt_buckets=salt_buckets) if salted else dedup_latest(ev)
+    return with_content_sha256(dd).drop("ts")
+
+
+def batch_digest(staged: DataFrame, seq_col: str = "seq") -> str:
+    """Order-independent digest of a staged batch: sum of per-row
+    64-bit hashes (commutative reduction — SURVEY.md hard part #3:
+    partition order must not matter). Used as the manifest fence key's
+    content check."""
+    row_hash = F.xxhash64(*[F.col(c) for c in staged.columns])
+    s = staged.agg(F.sum(row_hash).alias("d")).first()["d"]
+    return format((s or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+
+
+def apply_batch(table, events: DataFrame, epoch=None, salted: bool = False) -> dict:
+    """Stage + MERGE one event batch into a LakeTable."""
+    staged = stage_batch(events, salted=salted)
+    return table.merge_cdc(staged, epoch=epoch)
+
+
+def replay(
+    spark,
+    table,
+    events: DataFrame,
+    batch_size: int | None = None,
+    n_events: int | None = None,
+    salted: bool = False,
+) -> list[dict]:
+    """Batch replay of a whole log, optionally split into seq-range
+    epochs (epoch i covers seq in [i*batch_size, (i+1)*batch_size) —
+    deterministic epochs make reruns hit the manifest fence)."""
+    if batch_size is None:
+        return [apply_batch(table, events, epoch=0, salted=salted)]
+    if n_events is None:
+        n_events = events.agg(F.max("seq")).first()[0] + 1
+    stats = []
+    for i, lo in enumerate(range(0, n_events, batch_size)):
+        batch = events.filter((F.col("seq") >= lo) & (F.col("seq") < lo + batch_size))
+        stats.append(apply_batch(table, batch, epoch=i, salted=salted))
+    return stats

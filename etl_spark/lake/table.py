@@ -1,0 +1,482 @@
+"""Bucketed copy-on-write parquet tables with atomic snapshot commits.
+
+No lakehouse jars (Iceberg/Delta) exist in this sandbox, so the engine
+ships its own minimal table format with the same guarantees the design
+needs:
+
+- **atomic commit**: a version is a JSON manifest written tmp+rename;
+  ``CURRENT`` is flipped last (the reference's "sync the index file
+  last as the commit point" pattern, etl/publish.py:99-176). A crash
+  mid-write leaves orphan data files and an unchanged CURRENT — readers
+  never see a partial commit.
+- **copy-on-write buckets**: rows are hash-bucketed by the merge key
+  (``pmod(xxhash64(*keys), n_buckets)``). A MERGE rewrites only the
+  buckets the staged batch touches; untouched buckets are carried
+  forward by manifest pointer. At 100 TB / thousands of buckets, a
+  batch touching k buckets costs O(k * bucket_size), not O(table).
+- **schema evolution**: add/widen applied transactionally with the
+  data (schemas are versioned; each bucket file records the schema id
+  it was written under; readers upcast per-file-schema then union —
+  Iceberg's schema-id mechanism, reduced to essentials).
+- **exactly-once fencing**: a commit may carry an ``epoch`` key; an
+  epoch already in the manifest makes the commit a no-op (the
+  reference's checksum fence, etl/grapher_import.py:309-340).
+- **time travel**: any previous version remains readable.
+
+Merge conflict resolution is *latest-wins by a sequence column*
+(CDC semantics): union(target, staged) -> max_by(struct(...), seq) per
+key -> drop deletes. ``max_by`` is a declarative aggregate, so Spark
+performs map-side partial aggregation — hot keys reduce locally before
+the shuffle, which is the built-in form of salting (an explicit salted
+two-phase variant lives in etl_spark.cdc.replay for the window path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake.schema import SchemaEvolutionError, can_widen, evolve
+
+_BUCKET = "_b"
+_DELETED = "_deleted"
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    """One keyed, bucketed, versioned table under ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------- metadata ----------
+
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "_meta")
+
+    def current_version(self) -> int:
+        with open(os.path.join(self._meta_dir, "CURRENT")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self._meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        m = self.manifest(version)
+        return T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
+
+    def committed_epochs(self, version: int | None = None) -> dict:
+        return self.manifest(version).get("epochs", {})
+
+    def has_epoch(self, epoch) -> bool:
+        return str(epoch) in self.committed_epochs()
+
+    def row_count(self, version: int | None = None) -> int:
+        return sum(b["rows"] for b in self.manifest(version)["buckets"].values())
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.manifest()["key_cols"]
+
+    @property
+    def seq_col(self) -> str:
+        return self.manifest()["seq_col"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest()["n_buckets"]
+
+    # ---------- create ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        seq_col: str = "last_seq",
+        n_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        if seq_col not in schema.names:
+            schema = T.StructType(list(schema.fields) + [T.StructField(seq_col, T.LongType(), True)])
+        if _DELETED not in schema.names:
+            # retained tombstones: a delete keeps a hidden row carrying its
+            # seq, so a later-arriving OLDER event for the key still loses
+            # (out-of-order safety — SURVEY.md hard part #1). Reads filter
+            # them; expire/compaction may purge them past a watermark.
+            schema = T.StructType(list(schema.fields) + [T.StructField(_DELETED, T.BooleanType(), True)])
+        m = {
+            "version": 0,
+            "parent": None,
+            "key_cols": key_cols,
+            "seq_col": seq_col,
+            "n_buckets": n_buckets,
+            "schemas": [schema.jsonValue()],
+            "current_schema_id": 0,
+            "buckets": {},
+            "epochs": {},
+            "properties": properties or {},
+            "committed_at": time.time(),
+        }
+        _atomic_write(os.path.join(t._meta_dir, "v0.json"), json.dumps(m))
+        _atomic_write(os.path.join(t._meta_dir, "CURRENT"), "0")
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_meta", "CURRENT"))
+
+    # ---------- read ----------
+
+    def _bucket_expr(self, keys: list[str]):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.n_buckets))
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Snapshot read. Files written under older schema ids are read
+        with their own schema, upcast by name, then unioned — missing
+        columns become NULL, widened columns are cast up. Tombstone
+        rows (retained deletes) are filtered unless asked for."""
+        m = self.manifest(version)
+        cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
+        by_sid: dict[int, list[str]] = {}
+        for b, ent in m["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            by_sid.setdefault(ent["sid"], []).append(ent["path"])
+        if not by_sid:
+            out = self.spark.createDataFrame([], cur)
+        else:
+            parts = []
+            for sid, paths in sorted(by_sid.items()):
+                file_schema = T.StructType.fromJson(m["schemas"][sid])
+                df = self.spark.read.schema(file_schema).parquet(*paths)
+                cols = [
+                    (F.col(f.name).cast(f.dataType) if f.name in file_schema.names
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in cur.fields
+                ]
+                parts.append(df.select(*cols))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if not include_tombstones and _DELETED in out.columns:
+            out = out.filter(~F.coalesce(F.col(_DELETED), F.lit(False))).drop(_DELETED)
+        return out
+
+    # ---------- schema DDL ----------
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Explicit rename DDL, applied as a new schema version.
+
+        Files are untouched; readers map old-name files to the new name
+        via the per-file schema id (the field-id-free analog of
+        Iceberg's rename). Data files written before the rename keep
+        the old physical name; ``read`` aliases them."""
+        m = self.manifest()
+        cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
+        if old not in cur.names:
+            raise SchemaEvolutionError(f"no such column: {old}")
+        if new in cur.names:
+            raise SchemaEvolutionError(f"column exists: {new}")
+        # rewrite dirty approach: rename requires rewriting files mapping;
+        # keep it simple & correct: rewrite all buckets under new schema.
+        new_schema = T.StructType(
+            [T.StructField(new if f.name == old else f.name, f.dataType, f.nullable) for f in cur.fields]
+        )
+        df = self.read(include_tombstones=True).withColumnRenamed(old, new)
+        self._commit_rewrite(df, new_schema, note=f"rename {old}->{new}")
+
+    # ---------- write paths ----------
+
+    def _write_buckets(self, df: DataFrame, version: int, schema: T.StructType) -> dict:
+        """Write df (must contain _b) partitioned by bucket; return
+        {bucket: {path, rows}} with per-bucket row counts."""
+        data_dir = os.path.join(self.root, "data", f"v{version}")
+        ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        df.select(F.col(_BUCKET), *ordered).write.partitionBy(_BUCKET).mode(
+            "overwrite"
+        ).parquet(data_dir)
+        out = {}
+        for d in os.listdir(data_dir):
+            if d.startswith(f"{_BUCKET}="):
+                b = int(d.split("=")[1])
+                out[str(b)] = {"path": os.path.join(data_dir, d)}
+        # per-bucket live/tombstone counts in one small job (<= n_buckets rows)
+        if out:
+            back = self.spark.read.schema(schema).parquet(*[e["path"] for e in out.values()])
+            dead = (
+                F.coalesce(F.col(_DELETED), F.lit(False))
+                if _DELETED in schema.names
+                else F.lit(False)
+            )
+            counts = {
+                r["b"]: (r["live"], r["dead"])
+                for r in back.withColumn("b", self._bucket_keys_expr(schema))
+                .groupBy("b")
+                .agg(
+                    F.count(F.when(~dead, 1)).alias("live"),
+                    F.count(F.when(dead, 1)).alias("dead"),
+                )
+                .collect()
+            }
+        else:
+            counts = {}
+        for b, ent in out.items():
+            live, dead = counts.get(int(b), (0, 0))
+            ent["rows"] = int(live)
+            ent["tombstones"] = int(dead)
+        return out
+
+    def _bucket_keys_expr(self, schema: T.StructType):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets))
+
+    def _commit(self, new_manifest: dict) -> int:
+        v = new_manifest["version"]
+        _atomic_write(os.path.join(self._meta_dir, f"v{v}.json"), json.dumps(new_manifest))
+        _atomic_write(os.path.join(self._meta_dir, "CURRENT"), str(v))
+        return v
+
+    def _commit_rewrite(self, df: DataFrame, schema: T.StructType, note: str = "") -> int:
+        m = self.manifest()
+        v = m["version"] + 1
+        schemas = m["schemas"] + [schema.jsonValue()]
+        sid = len(schemas) - 1
+        dfb = df.withColumn(_BUCKET, self._bucket_expr(self.key_cols))
+        buckets = self._write_buckets(dfb, v, schema)
+        for ent in buckets.values():
+            ent["sid"] = sid
+        m2 = {**m, "version": v, "parent": m["version"], "schemas": schemas,
+              "current_schema_id": sid, "buckets": buckets, "note": note,
+              "committed_at": time.time()}
+        return self._commit(m2)
+
+    # ---------- MERGE ----------
+
+    def merge_cdc(
+        self,
+        source: DataFrame,
+        op_col: str = "op",
+        seq_col_src: str = "seq",
+        epoch=None,
+        extra_manifest: dict | None = None,
+    ) -> dict:
+        """Apply a staged CDC batch: latest-wins by seq, deletes drop.
+
+        ``source`` columns: the table's user columns (any legal
+        evolution thereof) + ``op`` + ``seq``. Must already be
+        deduplicated to one row per key (etl_spark.cdc.replay does
+        that); re-deduplication here is still safe because max_by is
+        deterministic on unique seq.
+
+        Returns stats {version, epoch, skipped, dirty_buckets,
+        rows_written}. Idempotent per epoch (manifest fence) AND per
+        content (re-merging the same rows yields the same state —
+        at-least-once delivery + idempotent apply = exactly-once
+        effect, the reference's checksum-fence contract).
+        """
+        m = self.manifest()
+        if epoch is not None and str(epoch) in m.get("epochs", {}):
+            return {"version": m["version"], "epoch": epoch, "skipped": True}
+
+        seq = self.seq_col
+        internal = {seq, _DELETED}
+        # --- schema evolution (add/widen) from the staged batch ---
+        incoming_user = T.StructType(
+            [f for f in source.schema.fields if f.name not in (op_col, seq_col_src) and f.name not in internal]
+        )
+        cur_schema = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
+        cur_user = T.StructType([f for f in cur_schema.fields if f.name not in internal])
+        new_user, changed = evolve(cur_user, incoming_user)
+        new_schema = T.StructType(
+            list(new_user.fields)
+            + [T.StructField(seq, T.LongType(), True), T.StructField(_DELETED, T.BooleanType(), True)]
+        )
+        schemas = list(m["schemas"])
+        if changed:
+            schemas.append(new_schema.jsonValue())
+            sid = len(schemas) - 1
+        else:
+            new_schema = cur_schema
+            sid = m["current_schema_id"]
+
+        # --- stage: align source to table schema, find dirty buckets ---
+        src = source.withColumn(seq, F.col(seq_col_src).cast("long")).withColumn(
+            _DELETED, F.lower(F.col(op_col)) == F.lit("delete")
+        )
+        aligned = [
+            (F.col(f.name).cast(f.dataType) if f.name in src.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in new_schema.fields
+        ]
+        src = src.select(*aligned).withColumn(_BUCKET, self._bucket_expr(self.key_cols))
+
+        dirty = {int(r[_BUCKET]) for r in src.select(_BUCKET).distinct().collect()}
+        if not dirty:
+            # empty batch: still record the epoch (fence) without data IO
+            v = m["version"] + 1
+            m2 = {**m, "version": v, "parent": m["version"],
+                  "epochs": {**m.get("epochs", {}), **({str(epoch): v} if epoch is not None else {})},
+                  "committed_at": time.time(), **(extra_manifest or {})}
+            self._commit(m2)
+            return {"version": v, "epoch": epoch, "skipped": False,
+                    "dirty_buckets": [], "rows_written": 0}
+
+        # --- resolve: union target-dirty + staged, latest seq wins.
+        # Tombstones ride along: a delete winner stays as a hidden row
+        # (carrying its seq) so older out-of-order events can't resurrect
+        # the key; reads filter them out.
+        tgt_raw = self.read(buckets=dirty, include_tombstones=True)
+        target = tgt_raw.select(
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in tgt_raw.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in new_schema.fields
+            ]
+        ).withColumn(_BUCKET, self._bucket_expr(self.key_cols))
+        all_cols = [f.name for f in new_schema.fields] + [_BUCKET]
+        union = target.select(*all_cols).unionByName(src.select(*all_cols))
+        kept = (
+            union.groupBy(*self.key_cols)
+            .agg(F.max_by(F.struct(*all_cols), F.col(seq)).alias("r"))
+            .select("r.*")
+        )
+
+        # --- write only dirty buckets; carry the rest forward ---
+        v = m["version"] + 1
+        written = self._write_buckets(kept, v, new_schema)
+        for ent in written.values():
+            ent["sid"] = sid
+        new_buckets = dict(m["buckets"])
+        for b in dirty:
+            new_buckets.pop(str(b), None)  # a dirty bucket may end empty (all deleted)
+        new_buckets.update(written)
+
+        m2 = {
+            **m,
+            "version": v,
+            "parent": m["version"],
+            "schemas": schemas,
+            "current_schema_id": sid,
+            "buckets": new_buckets,
+            "epochs": {**m.get("epochs", {}), **({str(epoch): v} if epoch is not None else {})},
+            "committed_at": time.time(),
+            **(extra_manifest or {}),
+        }
+        self._commit(m2)
+        return {
+            "version": v,
+            "epoch": epoch,
+            "skipped": False,
+            "dirty_buckets": sorted(dirty),
+            "rows_written": sum(e["rows"] for e in written.values()),
+        }
+
+    def upsert(self, source: DataFrame, epoch=None) -> dict:
+        """Generic keyed upsert (source wins; no deletes) — the
+        reference's upsert_table semantics (etl/grapher_import.py:186-306)
+        without CDC ordering: rows get seq = max(existing)+1."""
+        m = self.manifest()
+        cur_max = self.read().agg(F.max(self.seq_col)).first()[0] if m["buckets"] else None
+        base = (cur_max or 0) + 1
+        src = source.withColumn("op", F.lit("upsert")).withColumn("seq", F.lit(base).cast("long"))
+        return self.merge_cdc(src, epoch=epoch)
+
+    def delete_where(self, condition) -> int:
+        """DELETE FROM ... WHERE — rewrite of affected buckets only."""
+        df = self.read()
+        matched = df.filter(condition)
+        dirty = {
+            int(r["b"])
+            for r in matched.select(self._bucket_keys_expr(self.schema()).alias("b")).distinct().collect()
+        }
+        if not dirty:
+            return self.current_version()
+        m = self.manifest()
+        # keep tombstone rows and any live row where the predicate is not TRUE
+        keep = self.read(buckets=dirty, include_tombstones=True).filter(
+            F.coalesce(F.col(_DELETED), F.lit(False)) | ~F.coalesce(condition, F.lit(False))
+        )
+        v = m["version"] + 1
+        schema = self.schema()
+        written = self._write_buckets(keep.withColumn(_BUCKET, self._bucket_expr(self.key_cols)), v, schema)
+        for ent in written.values():
+            ent["sid"] = m["current_schema_id"]
+        new_buckets = dict(m["buckets"])
+        for b in dirty:
+            new_buckets.pop(str(b), None)
+        new_buckets.update(written)
+        m2 = {**m, "version": v, "parent": m["version"], "buckets": new_buckets,
+              "committed_at": time.time()}
+        return self._commit(m2)
+
+    # ---------- maintenance ----------
+
+    def expire_versions(self, keep_last: int = 2) -> None:
+        """Drop data dirs only referenced by expired manifests."""
+        cur = self.current_version()
+        live: set[str] = set()
+        for v in range(max(0, cur - keep_last + 1), cur + 1):
+            try:
+                for ent in self.manifest(v)["buckets"].values():
+                    live.add(os.path.dirname(ent["path"]))
+            except FileNotFoundError:
+                pass
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                full = os.path.join(data_root, d)
+                if full not in live:
+                    shutil.rmtree(full, ignore_errors=True)
+
+
+class LakeCatalog:
+    """Folder-of-tables catalog (the reference's catalog-as-directory,
+    lib/catalog/owid/catalog/catalogs.py:112-153, minus the feather
+    index — manifests are the index)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> LakeTable:
+        return LakeTable(self.spark, os.path.join(self.root, name))
+
+    def create_table(self, name: str, schema, key_cols, **kw) -> LakeTable:
+        return LakeTable.create(self.spark, os.path.join(self.root, name), schema, key_cols, **kw)
+
+    def exists(self, name: str) -> bool:
+        return LakeTable.exists(os.path.join(self.root, name))
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if LakeTable.exists(os.path.join(self.root, d))
+        )

@@ -1,0 +1,164 @@
+"""LakeTable unit tests: atomic commits, copy-on-write buckets,
+schema evolution, time travel, delete, epoch fencing."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake import LakeTable
+from etl_spark.lake.schema import SchemaEvolutionError, evolve
+
+
+def _schema():
+    return T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+
+
+def _src(spark, rows, extra_fields=()):
+    fields = [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), True),
+        *extra_fields,
+        T.StructField("op", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+    return spark.createDataFrame(rows, T.StructType(fields))
+
+
+def test_create_read_empty(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    assert t.read().count() == 0
+    assert t.row_count() == 0
+
+
+def test_merge_insert_update_delete(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    t.merge_cdc(_src(spark, [("a", 10, "update", 3), ("b", None, "delete", 4)]), epoch=1)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 10}
+    assert t.row_count() == 1
+
+
+def test_copy_on_write_touches_only_dirty_buckets(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=64)
+    rows = [(f"k{i}", i, "insert", i) for i in range(200)]
+    t.merge_cdc(_src(spark, rows), epoch=0)
+    m0 = t.manifest()
+    stats = t.merge_cdc(_src(spark, [("k0", 99, "update", 1000)]), epoch=1)
+    assert len(stats["dirty_buckets"]) == 1
+    m1 = t.manifest()
+    unchanged = [b for b in m0["buckets"] if b not in map(str, stats["dirty_buckets"])]
+    for b in unchanged:
+        assert m1["buckets"][b]["path"] == m0["buckets"][b]["path"]
+
+
+def test_time_travel(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    t.merge_cdc(_src(spark, [("a", 2, "update", 2)]), epoch=1)
+    assert t.read(version=1).first()["v"] == 1
+    assert t.read(version=2).first()["v"] == 2
+
+
+def test_epoch_fence_skips(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=7)
+    out = t.merge_cdc(_src(spark, [("a", 999, "update", 99)]), epoch=7)
+    assert out["skipped"] is True
+    assert t.read().first()["v"] == 1
+
+
+def test_schema_add_column(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    extra = (T.StructField("tag", T.StringType(), True),)
+    t.merge_cdc(_src(spark, [("b", 2, "x", "insert", 2)], extra), epoch=1)
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read().collect()}
+    assert got == {"a": (1, None), "b": (2, "x")}
+    assert "tag" in t.schema().names
+
+
+def test_schema_widen_int_to_long(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    wide = spark.createDataFrame(
+        [("b", 2**40, "insert", 2)],
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), False),
+                T.StructField("v", T.LongType(), True),
+                T.StructField("op", T.StringType(), False),
+                T.StructField("seq", T.LongType(), False),
+            ]
+        ),
+    )
+    t.merge_cdc(wide, epoch=1)
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2**40}
+
+
+def test_schema_narrow_rejected():
+    with pytest.raises(SchemaEvolutionError):
+        evolve(
+            T.StructType([T.StructField("v", T.LongType())]),
+            T.StructType([T.StructField("v", T.StringType())]),
+        )
+    # narrower incoming is fine (table type covers it), no change
+    s, changed = evolve(
+        T.StructType([T.StructField("v", T.LongType())]),
+        T.StructType([T.StructField("v", T.IntegerType())]),
+    )
+    assert not changed and s.fields[0].dataType == T.LongType()
+
+
+def test_rename_column(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    t.rename_column("v", "val")
+    assert "val" in t.read().columns and "v" not in t.read().columns
+    assert t.read().first()["val"] == 1
+
+
+def test_delete_where(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    rows = [(f"k{i}", i, "insert", i) for i in range(20)]
+    t.merge_cdc(_src(spark, rows), epoch=0)
+    t.delete_where(F.col("v") >= 10)
+    assert t.read().count() == 10
+
+
+def test_crash_before_commit_invisible(spark, tmp_path):
+    """Orphan data files from a crashed commit never surface: CURRENT
+    still points at the old manifest (commit-last semantics)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    # simulate a crash: data dir for v2 written, manifest never committed
+    os.makedirs(str(tmp_path / "t" / "data" / "v2" / "_b=0"), exist_ok=True)
+    assert t.current_version() == 1
+    assert t.read().count() == 1
+
+
+def test_upsert_source_wins(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    up = spark.createDataFrame([Row(k="a", v=100), Row(k="c", v=3)], _schema())
+    t.upsert(up)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 100, "b": 2, "c": 3}
+
+
+def test_expire_versions(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    for i in range(4):
+        t.merge_cdc(_src(spark, [("a", i, "update" if i else "insert", i + 1)]), epoch=i)
+    t.expire_versions(keep_last=1)
+    assert t.read().first()["v"] == 3  # current still readable

@@ -1,0 +1,119 @@
+"""End-to-end CDC replay tests against an independent pandas oracle.
+
+Mirrors the reference's checksum round-trip contract
+(lib/catalog/tests/test_datasets.py:215-241): replay(whole) ==
+replay(batched) == oracle; rerun is a fenced no-op.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc import replay as R
+from etl_spark.cdc.generator import generate_events, oracle_final_state
+from etl_spark.lake import LakeTable
+
+N = 8_000
+COLS = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    ev = generate_events(spark, N).cache()
+    ev.count()
+    return ev
+
+
+@pytest.fixture(scope="module")
+def oracle(spark):
+    ev = generate_events(spark, N)
+    return oracle_final_state(ev.toPandas())[COLS].reset_index(drop=True)
+
+
+def _final(tbl):
+    return tbl.read().select(*COLS).orderBy("repo", "path").toPandas().reset_index(drop=True)
+
+
+def test_single_batch_replay_matches_oracle(spark, events, oracle, repos_schema, tmp_path):
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    R.replay(spark, tbl, events)
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_batched_replay_matches_oracle(spark, events, oracle, repos_schema, tmp_path):
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    stats = R.replay(spark, tbl, events, batch_size=2000, n_events=N)
+    assert len(stats) == 4 and not any(s["skipped"] for s in stats)
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_rerun_is_fenced_noop(spark, events, repos_schema, tmp_path):
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    R.replay(spark, tbl, events, batch_size=2000, n_events=N)
+    v = tbl.current_version()
+    stats2 = R.replay(spark, tbl, events, batch_size=2000, n_events=N)
+    assert all(s["skipped"] for s in stats2)
+    assert tbl.current_version() == v
+
+
+def test_unfenced_reapply_is_idempotent(spark, events, oracle, repos_schema, tmp_path):
+    """At-least-once delivery: re-merging the same batch WITHOUT the
+    epoch fence (crash-between-merge-and-manifest scenario) must not
+    change the final state — MERGE of identical rows is a no-op in
+    effect (SURVEY.md hard part #2)."""
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    R.apply_batch(tbl, events, epoch=None)
+    R.apply_batch(tbl, events, epoch=None)  # re-apply, no fence
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_salted_dedup_equals_plain(spark, events, oracle, repos_schema, tmp_path):
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    R.replay(spark, tbl, events, batch_size=4000, n_events=N, salted=True)
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_out_of_order_batches_converge(spark, events, oracle, repos_schema, tmp_path):
+    """Seq, not arrival order, decides the winner: applying the later
+    seq-range first must yield the same final state."""
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    late = events.filter(F.col("seq") >= N // 2)
+    early = events.filter(F.col("seq") < N // 2)
+    R.apply_batch(tbl, late, epoch=1)
+    R.apply_batch(tbl, early, epoch=0)
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_content_sha256_invariant(spark, events, repos_schema, tmp_path):
+    """Per-row invariant: engine sha256 == hashlib.sha256 (oracle)."""
+    import hashlib
+
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    R.replay(spark, tbl, events)
+    rows = tbl.read().select("content", "content_sha256").limit(200).collect()
+    assert rows
+    for r in rows:
+        assert r["content_sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_event_log_properties(spark, events):
+    """FIXTURES.md §1.2 required properties, asserted deterministically."""
+    p = events.toPandas().sort_values("seq")
+    # multiple events per key
+    assert p.groupby(["repo", "path"]).size().max() > 1
+    last = p.drop_duplicates(["repo", "path"], keep="last")
+    # at least one key whose final event is delete
+    assert (last["op"] == "delete").sum() > 0
+    # delete followed by re-insert of the same key
+    deleted = p[p["op"] == "delete"][["repo", "path", "seq"]]
+    merged = deleted.merge(p[p["op"] == "insert"], on=["repo", "path"], suffixes=("_d", "_i"))
+    assert (merged["seq_i"] > merged["seq_d"]).any()
+    # ops only target previously-inserted keys
+    first = p.drop_duplicates(["repo", "path"], keep="first")
+    assert (first["op"] == "insert").all()
+
+
+def test_slice_reproducibility(spark):
+    whole = generate_events(spark, N).filter((F.col("seq") >= 500) & (F.col("seq") < 700))
+    part = generate_events(spark, N, start=500, end=700)
+    assert whole.toPandas().equals(part.toPandas())
