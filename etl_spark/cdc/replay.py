@@ -94,12 +94,14 @@ def stage_batch(events: DataFrame, salted: bool = False, salt_buckets: int = 32)
 
 
 def batch_digest(staged: DataFrame, seq_col: str = "seq") -> str:
-    """Order-independent digest of a staged batch: sum of per-row
+    """Order-independent digest of a staged batch: bit_xor of per-row
     64-bit hashes (commutative reduction — SURVEY.md hard part #3:
-    partition order must not matter). Used as the manifest fence key's
+    partition order must not matter; xor also can't overflow under
+    ANSI mode, and staged rows are unique per key so xor-cancel of
+    identical rows cannot occur). Used as the manifest fence key's
     content check."""
     row_hash = F.xxhash64(*[F.col(c) for c in staged.columns])
-    s = staged.agg(F.sum(row_hash).alias("d")).first()["d"]
+    s = staged.agg(F.bit_xor(row_hash).alias("d")).first()["d"]
     return format((s or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
 
 

@@ -1,0 +1,187 @@
+"""Structured Streaming CDC driver: WAL tail -> exactly-once MERGE.
+
+Protocol per micro-batch (epoch = streaming batch_id):
+
+1. fence check — epoch already in the table manifest? no-op (the
+   reference's fetch_db_checksum fence, etl/grapher_import.py:309-340);
+2. compute per-partition lineage rows over the RAW batch (seq ranges by
+   range-partitioning, so ranges are disjoint; digests are commutative
+   sums of row hashes → partition order can't matter, SURVEY.md hard
+   part #3) and overwrite them under _lineage/epoch=<id> (idempotent on
+   retry: same epoch -> same bytes, dynamic overwrite of that epoch
+   dir only);
+3. stage (canonicalize -> latest-wins dedup -> sha256) and MERGE with
+   the epoch and the batch digest in ``extra_manifest`` — digest +
+   epoch land in the SAME atomic manifest commit as the data (the
+   reference's write-checksum-after-data commit point,
+   etl/steps/__init__.py:793-794, collapsed into one atomic rename).
+
+Crash matrix:
+- crash before merge commit: CURRENT unchanged; streaming replays the
+  batch under the same batch_id; lineage overwrite is idempotent.
+- crash after merge commit, before checkpoint: replay hits the fence,
+  no second apply — exactly-once effect from at-least-once delivery.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.cdc import replay as R
+from etl_spark.lake.table import LakeTable
+from etl_spark.sources.wal import EVENT_SCHEMA_EVOLVED, stream_event_log
+
+LINEAGE_SCHEMA = "epoch long, partition_id int, seq_min long, seq_max long, row_count long, sha256_digest string"
+
+
+def lineage_rows(batch: DataFrame, epoch: int, n_ranges: int | None = None) -> DataFrame:
+    """Per-partition lineage over the raw batch: disjoint seq ranges,
+    row counts, and an order-independent digest.
+
+    Range ids are computed ARITHMETICALLY from (min, max, n_ranges) —
+    not via repartitionByRange, whose sampled boundaries depend on the
+    input partitioning and would make lineage non-deterministic across
+    retries (SURVEY.md hard part #3: digests must not depend on
+    partition assignment)."""
+    bounds = batch.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    if bounds["lo"] is None:
+        return batch.sparkSession.createDataFrame([], LINEAGE_SCHEMA)
+    lo, hi = bounds["lo"], bounds["hi"]
+    chunk = max((hi - lo + 1 + (n_ranges or 1) - 1) // (n_ranges or 1), 1)
+    row_hash = F.xxhash64(*[F.col(c) for c in batch.columns])
+    return (
+        batch.withColumn(
+            "partition_id", ((F.col("seq") - F.lit(lo)) / F.lit(chunk)).cast("int")
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.min("seq").alias("seq_min"),
+            F.max("seq").alias("seq_max"),
+            F.count(F.lit(1)).alias("row_count"),
+            # bit_xor: commutative + overflow-free (ANSI mode forbids
+            # overflowing sum); rows are unique (seq), so xor-cancel
+            # of identical pairs cannot occur
+            F.sha2(F.bit_xor(row_hash).cast("string").cast("binary"), 256).alias("sha256_digest"),
+        )
+        .select(
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.col("partition_id").cast("int"),
+            "seq_min",
+            "seq_max",
+            "row_count",
+            "sha256_digest",
+        )
+    )
+
+
+class CdcStream:
+    """Owns the foreachBatch loop for one WAL -> one LakeTable."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        checkpoint_dir: str,
+        salted: bool = False,
+        lineage_ranges: int = 8,
+    ):
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.salted = salted
+        self.lineage_ranges = lineage_ranges
+
+    @property
+    def lineage_dir(self) -> str:
+        return os.path.join(self.table.root, "_lineage")
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        if not os.path.isdir(self.lineage_dir):
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        dirs = [
+            os.path.join(self.lineage_dir, d)
+            for d in os.listdir(self.lineage_dir)
+            if d.startswith("e")
+        ]
+        if not dirs:
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(*dirs)
+
+    def read_manifest(self, spark: SparkSession) -> DataFrame:
+        """The manifest table, derived from the atomic version chain:
+        one row per committed epoch (epoch, batch_digest, committed_at)."""
+        rows = []
+        seen = set()
+        t = self.table
+        v = t.current_version()
+        while v is not None:
+            m = t.manifest(v)
+            e = m.get("epoch_committed")
+            if e is not None and e not in seen:
+                seen.add(e)
+                rows.append((int(e), m.get("batch_digest"), float(m["committed_at"])))
+            v = m.get("parent")
+        return spark.createDataFrame(
+            rows or [], "epoch long, batch_digest string, committed_at double"
+        ).withColumn("committed_at", F.timestamp_seconds(F.col("committed_at")))
+
+    def process_batch(self, batch: DataFrame, epoch: int) -> dict:
+        if self.table.has_epoch(epoch):
+            return {"epoch": epoch, "skipped": True}
+        # write lineage first (idempotent overwrite of this epoch's dir);
+        # a crash before the merge commit leaves it orphaned-but-correct
+        lin = lineage_rows(R.canonicalize(batch), epoch, self.lineage_ranges)
+        lin.write.mode("overwrite").parquet(os.path.join(self.lineage_dir, f"e{epoch}"))
+        staged = R.stage_batch(batch, salted=self.salted)
+        staged = staged.persist()
+        try:
+            digest = R.batch_digest(staged)
+            return self.table.merge_cdc(
+                staged,
+                epoch=epoch,
+                extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
+            )
+        finally:
+            staged.unpersist()
+
+    def start(
+        self,
+        spark: SparkSession,
+        wal_dir: str,
+        schema=None,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+    ):
+        """Start the streaming query. With available_now=True this
+        drains the current backlog in rate-limited batches and stops
+        (replay mode); otherwise it tails forever."""
+        src = stream_event_log(
+            spark, wal_dir, schema=schema or EVENT_SCHEMA_EVOLVED,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        writer = (
+            src.writeStream.foreachBatch(lambda df, bid: self.process_batch(df, bid))
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(
+        self,
+        spark: SparkSession,
+        wal_dir: str,
+        schema=None,
+        max_files_per_trigger: int | None = None,
+        timeout_s: float | None = None,
+    ) -> None:
+        q = self.start(
+            spark, wal_dir, schema=schema,
+            max_files_per_trigger=max_files_per_trigger, available_now=True,
+        )
+        try:
+            q.awaitTermination(timeout_s) if timeout_s else q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()

@@ -1,0 +1,129 @@
+"""Structured Streaming exactly-once tests: stream replay == oracle,
+kill-and-resume, crash-between-merge-and-checkpoint, lineage
+invariants (FIXTURES.md §1.4)."""
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.generator import generate_events, oracle_final_state, write_event_log
+from etl_spark.lake import LakeTable
+from etl_spark.sources.wal import EVENT_SCHEMA, read_event_log
+from etl_spark.streaming.driver import CdcStream
+
+N = 6_000
+COLS = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+
+
+@pytest.fixture(scope="module")
+def wal(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wal") / "events")
+    write_event_log(spark, d, N, files=6)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle(spark):
+    return oracle_final_state(generate_events(spark, N).toPandas())[COLS].reset_index(drop=True)
+
+
+def _table(spark, tmp_path, repos_schema):
+    return LakeTable.create(spark, str(tmp_path / "repos"), repos_schema, ["repo", "path"], n_buckets=8)
+
+
+def _final(tbl):
+    return tbl.read().select(*COLS).orderBy("repo", "path").toPandas().reset_index(drop=True)
+
+
+def test_stream_replay_matches_oracle(spark, wal, oracle, repos_schema, tmp_path):
+    tbl = _table(spark, tmp_path, repos_schema)
+    s = CdcStream(tbl, str(tmp_path / "ckpt"))
+    s.run_to_completion(spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=2)
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+    # multiple epochs actually happened
+    assert len(tbl.committed_epochs()) == 3
+
+
+def test_kill_and_resume(spark, wal, oracle, repos_schema, tmp_path):
+    """Stop the query mid-backlog; a new query on the same checkpoint
+    finishes the job; final state matches the oracle."""
+    tbl = _table(spark, tmp_path, repos_schema)
+
+    class Crashing(CdcStream):
+        def process_batch(self, batch, epoch):
+            if epoch == 2:
+                raise RuntimeError("injected crash")
+            return super().process_batch(batch, epoch)
+
+    s = Crashing(tbl, str(tmp_path / "ckpt"))
+    q = s.start(spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=1, available_now=True)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    done_after_kill = len(tbl.committed_epochs())
+    assert 0 < done_after_kill < 6  # genuinely mid-stream
+    s2 = CdcStream(tbl, str(tmp_path / "ckpt"))
+    s2.run_to_completion(spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=1)
+    assert len(tbl.committed_epochs()) == 6
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_crash_between_merge_and_checkpoint(spark, wal, oracle, repos_schema, tmp_path):
+    """Simulate streaming redelivery of an already-merged batch (merge
+    committed, checkpoint lost): process_batch with the same epoch id
+    must hit the fence and change nothing."""
+    tbl = _table(spark, tmp_path, repos_schema)
+    s = CdcStream(tbl, str(tmp_path / "ckpt"))
+    batch = read_event_log(spark, wal, schema=EVENT_SCHEMA).filter(F.col("seq") < 3000)
+    out1 = s.process_batch(batch, 0)
+    assert not out1.get("skipped")
+    v = tbl.current_version()
+    out2 = s.process_batch(batch, 0)  # redelivery
+    assert out2["skipped"] and tbl.current_version() == v
+    # finish the rest; total state correct
+    rest = read_event_log(spark, wal, schema=EVENT_SCHEMA).filter(F.col("seq") >= 3000)
+    s.process_batch(rest, 1)
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_lineage_invariants(spark, wal, repos_schema, tmp_path):
+    """Lineage seq ranges: disjoint per epoch, covering [0, N); row
+    counts sum to batch sizes; manifest has one row per epoch and a
+    rerun adds none."""
+    tbl = _table(spark, tmp_path, repos_schema)
+    s = CdcStream(tbl, str(tmp_path / "ckpt"))
+    s.run_to_completion(spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=2)
+
+    lin = s.read_lineage(spark).toPandas()
+    assert not lin.empty
+    # disjoint within epoch + global coverage of [0, N)
+    covered = 0
+    for _, g in lin.groupby("epoch"):
+        g = g.sort_values("seq_min")
+        assert (g["seq_min"].values[1:] > g["seq_max"].values[:-1]).all()
+        covered += int(g["row_count"].sum())
+    assert covered == N
+    assert lin["seq_min"].min() == 0 and lin["seq_max"].max() == N - 1
+    # digests are deterministic 64-hex strings
+    assert lin["sha256_digest"].str.fullmatch(r"[0-9a-f]{64}").all()
+
+    man = s.read_manifest(spark).toPandas()
+    assert sorted(man["epoch"]) == sorted(int(e) for e in tbl.committed_epochs())
+    assert man["batch_digest"].notna().all()
+
+    # rerun from a fresh checkpoint: all fenced, no new manifest rows
+    s3 = CdcStream(tbl, str(tmp_path / "ckpt2"))
+    s3.run_to_completion(spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=2)
+    man2 = s3.read_manifest(spark).toPandas()
+    assert len(man2) == len(man)
+
+
+def test_lineage_digest_partition_order_independent(spark, wal):
+    """Same batch, different partitioning -> same per-range digests."""
+    from etl_spark.streaming.driver import lineage_rows
+
+    b = read_event_log(spark, wal, schema=EVENT_SCHEMA).filter(F.col("seq") < 2000)
+    l1 = lineage_rows(b.repartition(3), 0, n_ranges=4).orderBy("seq_min").toPandas()
+    l2 = lineage_rows(b.repartition(11), 0, n_ranges=4).orderBy("seq_min").toPandas()
+    assert list(l1["sha256_digest"]) == list(l2["sha256_digest"])
