@@ -1,38 +1,863 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry runs an operator from SURVEY.md §2 (or a
+training-data op) through the etl_spark library; ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL over the same parquet views.
+Column names and value formatting (explicit rounding of any float
+whose accumulation order differs between engines) are aligned so the
+driver's row-count + schema + value-hash comparison passes exactly.
+
+Engine-parity rules used throughout:
+- hashes: only sha256/md5 (identical hex in every engine) — never
+  xxhash/murmur in compared output;
+- float aggregates: ROUND(, 2..6) on both sides (parallel summation
+  order differs between engines); sequential per-row arithmetic
+  (cosine folds, window running sums) is bit-reproducible and needs
+  only defensive rounding;
+- ranking: always on the rounded value + an id tie-break.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.replay import dedup_latest, dedup_latest_salted
+from etl_spark.dedup.embed import cosine_sim, embedding_neardup_pairs
+from etl_spark.dedup.exact import exact_dup_groups
+from etl_spark.dedup.jaccard import ngram_jaccard_pairs
+from etl_spark.dedup.minhash import lsh_candidate_pairs
+from etl_spark.dedup.simhash import simhash_md5
+from etl_spark.ops import (
+    combine_two_overlapping,
+    cumsum,
+    groupby_agg,
+    interpolate_linear,
+    map_column,
+    melt,
+    multi_merge,
+    pct_change,
+    pivot_wide,
+    region_aggregate,
+)
+from etl_spark.sim.ann import brute_force_topk
+from etl_spark.text.analysis import (
+    LANG_MARKERS,
+    PUNCT,
+    STOPWORDS,
+    bpe_token_count,
+    fingerprint,
+    langid,
+    quality_features,
+    token_count,
+)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC latest-wins replay semantics + per-row checksum
+    over the driver's events stream (sf0.001)."""
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    latest = dedup_latest(ev, keys=["user_id"], seq_col="event_id")
+    return latest.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.round("value", 6).alias("value"),
+        F.sha2(F.col("props"), 256).alias("props_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC / checksum family
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_latest_wins(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return dedup_latest(ev, keys=["user_id"], seq_col="event_id").select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value"), "props"
+    )
+
+
+def q_cdc_latest_wins_salted(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return dedup_latest_salted(ev, keys=["user_id"], seq_col="event_id", salt_buckets=16).select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value"), "props"
+    )
+
+
+_SQL_LATEST = """
+SELECT user_id, event_id, ts, event_type, ROUND(value, 6) AS value, props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+def q_cdc_replay_state(spark, sf_dir):
+    """Replay with tombstones: latest event per user; users whose last
+    event is an 'error' are deleted from the final state; per-row
+    content checksum (the engine's merge_cdc semantics on the driver's
+    stream table)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = dedup_latest(ev, keys=["user_id"], seq_col="event_id")
+    return latest.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "event_type", F.sha2("props", 256).alias("props_sha256")
+    )
+
+
+def q_content_sha256(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2("text", 256).alias("text_sha256"))
+
+
+def q_dataset_checksum(spark, sf_dir):
+    """Order-independent per-source dataset checksum — the reference's
+    dataset checksum contract (sorted keys, then hash;
+    etl/steps/__init__.py:465-466): sha256 over doc_id-ordered
+    concatenation of per-row sha256."""
+    d = _t(spark, sf_dir, "documents")
+    per_row = d.select("source", "doc_id", F.sha2("text", 256).alias("h"))
+    return (
+        per_row.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "h"))), lambda x: x["h"]
+                    ),
+                    "",
+                ),
+                256,
+            ).alias("dataset_sha256"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational core
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_unshipped(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_groupby_nan_budget(spark, sf_dir):
+    """The reference's NaN-budget group-by (dataframes.py:260-349):
+    treat value<25 as missing; a user's aggregate is NULL when >30% of
+    their events are missing."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_n", F.when(F.col("value") >= 25, F.col("value"))
+    )
+    out = groupby_agg(
+        ev, ["user_id"], {"value_n": "sum"}, num_allowed_nans=None, frac_allowed_nans=0.3
+    )
+    return out.select("user_id", F.round("value_n", 6).alias("value_sum"))
+
+
+_SQL_NAN_BUDGET = """
+SELECT user_id,
+       CASE WHEN COUNT(*) FILTER (WHERE value < 25) * 1.0 / COUNT(*) > 0.3
+            THEN NULL
+            ELSE ROUND(SUM(CASE WHEN value >= 25 THEN value END), 6) END AS value_sum
+FROM events GROUP BY user_id
+"""
+
+
+def q_map_column_region(spark, sf_dir):
+    """map_series semantics (dataframes.py:405-500): dict-mapping of
+    nation key -> region name, unmapped keys kept."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    r2n = {
+        int(row["r_regionkey"]): row["r_name"]
+        for row in r.collect()
+    }
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name", F.col("n_regionkey")
+    )
+    return map_column(cn, "n_regionkey", r2n, target="region_name", keep_unmapped=False).select(
+        "c_custkey", "n_name", "region_name"
+    )
+
+
+def q_combine_overlapping(spark, sf_dir):
+    """combine_two_overlapping_dataframes (dataframes.py:593-672):
+    finished orders take priority; open/pending orders fill gaps with
+    a placeholder price."""
+    o = _t(spark, sf_dir, "orders")
+    first = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", F.col("o_totalprice").alias("price"))
+    second = o.select("o_orderkey", (F.col("o_totalprice") + F.lit(1000.0)).alias("price"))
+    return combine_two_overlapping(first, second, ["o_orderkey"])
+
+
+def q_multi_merge_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"),
+                                     F.round(F.sum("c_acctbal"), 2).alias("cust_acctbal"))
+    b = s.groupBy(F.col("s_nationkey").alias("c_nationkey")).agg(F.count(F.lit(1)).alias("n_suppliers"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    out = multi_merge([n, a, b], on=["c_nationkey"], how="left")
+    return out.select(
+        F.col("c_nationkey").alias("nationkey"), "n_name", "n_customers", "cust_acctbal", "n_suppliers"
+    )
+
+
+def q_region_mandatory_agg(spark, sf_dir):
+    """Region aggregation with mandatory members (geo.py:231-362):
+    sum rich-customer balances per region; NULL unless every
+    even-keyed nation of the region has at least one rich customer."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("n_name", "c_acctbal")
+    m2r = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_name", "r_name")
+    mandatory = n.filter(F.col("n_nationkey") % 2 == 0).select("n_name")
+    out = region_aggregate(
+        cn, m2r, member_col="n_name", region_col="r_name",
+        value_aggs={"c_acctbal": "sum"}, mandatory=mandatory,
+    )
+    return out.select("r_name", F.round("c_acctbal", 2).alias("acctbal_sum"))
+
+
+# ---------------------------------------------------------------------------
+# window / ordered
+# ---------------------------------------------------------------------------
+
+
+def q_pct_change(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = pct_change(ev, ["user_id"], "event_id", "value", target="pct")
+    return out.filter(F.col("pct").isNotNull()).select(
+        "user_id", "event_id", F.round("pct", 6).alias("pct")
+    )
+
+
+def q_cumsum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = cumsum(ev, ["user_id"], "event_id", "value", target="running_value")
+    return out.select("user_id", "event_id", F.round("running_value", 6).alias("running_value"))
+
+
+def q_interpolate_daily(spark, sf_dir):
+    """Grouped linear interpolation over a dense grid
+    (geo.py:518-530): daily per-user value sums, gaps linearly
+    interpolated, edges filled with the nearest value."""
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+    out = interpolate_linear(obs, ["user_id"], "day", "value", step=1)
+    return out.select("user_id", "day", F.round("value", 6).alias("value"))
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming
+    hourly rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Session counting (gaps > 30 min start a new session) — the
+    batch mirror of stateful streaming sessionization."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    return marked.groupBy("user_id").agg(F.sum("new_session").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# reshaping
+# ---------------------------------------------------------------------------
+
+
+def q_melt_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return melt(
+        li,
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="val",
+    )
+
+
+def q_pivot_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", F.lit(1).cast("long").alias("one")
+    )
+    return pivot_wide(
+        o,
+        index=["o_custkey"],
+        column="o_orderpriority",
+        value="one",
+        values=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        agg="sum",
+        names={
+            "1-URGENT": "n_urgent",
+            "2-HIGH": "n_high",
+            "3-MEDIUM": "n_medium",
+            "4-NOT SPECIFIED": "n_notspec",
+            "5-LOW": "n_low",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(d)
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, k=8, bands=4, shingle_n=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    out = ngram_jaccard_pairs(d, pairs, shingle_n=3)
+    return out
+
+
+def q_simhash16(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_md5(F.col("text"), bits=16).alias("simhash"))
+
+
+def q_embed_cosine_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = e.select(F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1).alias("id_b"))
+    return embedding_neardup_pairs(e, pairs, threshold=-2.0)
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return brute_force_topk(queries, e, k=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(d, "text", id_cols=["doc_id"])
+
+
+def q_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (mirror the library's arithmetic exactly)
+# ---------------------------------------------------------------------------
+
+
+def _sql_count(haystack: str, needle: str) -> str:
+    """Occurrences of literal ``needle`` via length arithmetic —
+    mirrors text.analysis._count_occurrences."""
+    esc = needle.replace("'", "''")
+    return f"(LENGTH({haystack}) - LENGTH(REPLACE({haystack}, '{esc}', ''))) / {len(needle)}"
+
+
+def _sql_langid() -> str:
+    scores = {
+        lang: " + ".join(_sql_count("' ' || LOWER(text) || ' '", m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_cols = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in scores.items())
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    pick = "'und'"
+    for lang in reversed(list(scores)):
+        pick = f"CASE WHEN best > 0 AND s_{lang} = best THEN '{lang}' ELSE {pick} END"
+    return f"""
+WITH s AS (SELECT doc_id, {score_cols} FROM documents),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, {pick} AS lang_pred FROM b
+"""
+
+
+def _sql_quality() -> str:
+    punct = " + ".join(_sql_count("text", ch) for ch in PUNCT)
+    stop = " + ".join(_sql_count("' ' || LOWER(text) || ' '", f" {w} ") for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS n_tokens,
+         ({punct}) AS punct_n,
+         ({stop}) AS stop_n
+  FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       n_tokens::BIGINT AS n_tokens,
+       ROUND(n_chars / GREATEST(n_tokens, 1), 6) AS mean_token_len,
+       ROUND(punct_n / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       ROUND(stop_n / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
+       (n_tokens >= 10 AND ROUND(n_chars / GREATEST(n_tokens, 1), 6) >= 2
+        AND ROUND(n_chars / GREATEST(n_tokens, 1), 6) <= 15
+        AND ROUND(stop_n / GREATEST(n_tokens, 1), 6) > 0) AS quality_keep
+FROM base
+"""
+
+
+def _sql_simhash16() -> str:
+    votes = []
+    for b in range(16):
+        votes.append(
+            f"CASE WHEN LIST_AGGREGATE(LIST_TRANSFORM(th, h -> "
+            f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+            f"THEN {2 ** b} ELSE 0 END"
+        )
+    total = " + ".join(votes)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(w, t -> ('0x' || SUBSTR(MD5(t), 1, 4))::BIGINT) AS th
+  FROM toks
+)
+SELECT doc_id, ({total})::BIGINT AS simhash FROM hashed
+"""
+
+
+_SQL_SHINGLES = """
+  SELECT doc_id,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS w
+  FROM documents
+"""
+
+
+def _sql_minhash_lsh() -> str:
+    mh = ", ".join(
+        f"LIST_MIN(LIST_TRANSFORM(sh, s -> SHA256('{i}:' || s))) AS mh{i}" for i in range(8)
+    )
+    bands = ", ".join(
+        f"SHA256('{b}' || '|' || mh{2 * b} || ',' || mh{2 * b + 1}) AS bk{b}" for b in range(4)
+    )
+    return f"""
+WITH words AS ({_SQL_SHINGLES}),
+sh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, ARRAY_LENGTH(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+  FROM words WHERE ARRAY_LENGTH(w) >= 3
+),
+sig AS (SELECT doc_id, {mh} FROM sh WHERE ARRAY_LENGTH(sh) > 0),
+bandk AS (SELECT doc_id, {bands} FROM sig),
+keys AS (
+  SELECT doc_id, UNNEST([bk0, bk1, bk2, bk3]) AS band_key FROM bandk
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM keys a JOIN keys b USING (band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+WITH words AS ({_SQL_SHINGLES}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN ARRAY_LENGTH(w) >= 3
+              THEN LIST_TRANSFORM(RANGE(1, ARRAY_LENGTH(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS sh
+  FROM words
+),
+pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents)
+SELECT p.id_a, p.id_b,
+       ROUND(
+         CASE WHEN ARRAY_LENGTH(LIST_DISTINCT(a.sh || b.sh)) = 0 THEN 0.0
+              ELSE ARRAY_LENGTH(LIST_INTERSECT(LIST_DISTINCT(a.sh), LIST_DISTINCT(b.sh)))
+                   / ARRAY_LENGTH(LIST_DISTINCT(a.sh || b.sh)) END, 6) AS jaccard
+FROM pairs p
+JOIN sh a ON a.doc_id = p.id_a
+JOIN sh b ON b.doc_id = p.id_b
+"""
+
+
+_SQL_DOT = (
+    "LIST_AGGREGATE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+    "p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = f"SQRT({_SQL_DOT.format(a=a, b=a)})"
+    nb = f"SQRT({_SQL_DOT.format(a=b, b=b)})"
+    return f"CASE WHEN {na} * {nb} = 0 THEN 0.0 ELSE ({dot}) / ({na} * {nb}) END"
+
+
+def _sql_embed_pairs() -> str:
+    cos = _sql_cos("a.embedding", "b.embedding")
+    return f"""
+WITH pairs AS (SELECT vec_id AS id_a, vec_id + 1 AS id_b FROM embeddings)
+SELECT p.id_a, p.id_b, ROUND({cos}, 6) AS cosine
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.id_a
+JOIN embeddings b ON b.vec_id = p.id_b
+WHERE ROUND({cos}, 6) >= -2.0
+"""
+
+
+def _sql_ann_topk() -> str:
+    cos = _sql_cos("q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ROUND({cos}, 6) AS cosine
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _sql_interpolate_daily() -> str:
+    return """
+WITH obs AS (
+  SELECT user_id,
+         DATE_DIFF('day', DATE '1970-01-01', ts::DATE)::INT AS day,
+         ROUND(SUM(value), 6) AS y
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, UNNEST(RANGE(mn, mx + 1))::INT AS day
+  FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY 1)
+),
+g AS (
+  SELECT grid.user_id, grid.day, obs.y
+  FROM grid LEFT JOIN obs ON obs.user_id = grid.user_id AND obs.day = grid.day
+),
+w AS (
+  SELECT user_id, day, y,
+    LAST_VALUE(y IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+    LAST_VALUE(CASE WHEN y IS NOT NULL THEN day::DOUBLE END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+    FIRST_VALUE(y IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny,
+    FIRST_VALUE(CASE WHEN y IS NOT NULL THEN day::DOUBLE END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+  FROM g
+)
+SELECT user_id, day,
+       ROUND(CASE WHEN y IS NOT NULL THEN y
+                  WHEN py IS NULL THEN ny
+                  WHEN ny IS NULL THEN py
+                  ELSE py + (day::DOUBLE - px) / (nx - px) * (ny - py) END, 6) AS value
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_latest_wins": q_cdc_latest_wins,
+        "cdc_latest_wins_salted": q_cdc_latest_wins_salted,
+        "cdc_replay_state": q_cdc_replay_state,
+        "content_sha256": q_content_sha256,
+        "dataset_checksum": q_dataset_checksum,
+        "pricing_summary": q_pricing_summary,
+        "top_unshipped": q_top_unshipped,
+        "region_revenue": q_region_revenue,
+        "groupby_nan_budget": q_groupby_nan_budget,
+        "map_column_region": q_map_column_region,
+        "combine_overlapping": q_combine_overlapping,
+        "multi_merge_nation": q_multi_merge_nation,
+        "region_mandatory_agg": q_region_mandatory_agg,
+        "pct_change": q_pct_change,
+        "cumsum": q_cumsum,
+        "interpolate_daily": q_interpolate_daily,
+        "hourly_rollup": q_hourly_rollup,
+        "sessionize": q_sessionize,
+        "melt_lineitem": q_melt_lineitem,
+        "pivot_priority": q_pivot_priority,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash16": q_simhash16,
+        "embed_cosine_pairs": q_embed_cosine_pairs,
+        "ann_topk": q_ann_topk,
+        "text_quality": q_text_quality,
+        "langid": q_langid,
+        "token_counts": q_token_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_latest_wins": _SQL_LATEST,
+        "cdc_latest_wins_salted": _SQL_LATEST,
+        "cdc_replay_state": """
+SELECT user_id, event_id, event_type, SHA256(props) AS props_sha256
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1 AND event_type <> 'error'
+""",
+        "content_sha256": "SELECT doc_id, SHA256(text) AS text_sha256 FROM documents",
+        "dataset_checksum": """
+SELECT source, COUNT(*) AS n_docs,
+       SHA256(STRING_AGG(SHA256(text), '' ORDER BY doc_id)) AS dataset_sha256
+FROM documents GROUP BY source
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_unshipped": """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "region_revenue": """
+SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "groupby_nan_budget": _SQL_NAN_BUDGET,
+        "map_column_region": """
+SELECT c_custkey, n_name, r_name AS region_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+""",
+        "combine_overlapping": """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE o_totalprice + 1000.0 END AS price
+FROM orders
+""",
+        "multi_merge_nation": """
+SELECT n_nationkey AS nationkey, n_name, a.n_customers, a.cust_acctbal, b.n_suppliers
+FROM nation
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS cust_acctbal
+           FROM customer GROUP BY 1) a ON a.c_nationkey = n_nationkey
+LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) b
+       ON b.s_nationkey = n_nationkey
+""",
+        "region_mandatory_agg": """
+WITH rich AS (SELECT * FROM customer WHERE c_acctbal > 9000),
+cn AS (
+  SELECT r_name, n.n_name, c_acctbal,
+         (n.n_nationkey % 2 = 0) AS mand
+  FROM rich
+  JOIN nation n ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+mand_totals AS (
+  SELECT r_name, COUNT(*) AS n_mand
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE n_nationkey % 2 = 0 GROUP BY 1
+)
+SELECT cn.r_name,
+       CASE WHEN COUNT(DISTINCT CASE WHEN mand THEN n_name END) >= COALESCE(MAX(n_mand), 0)
+            THEN ROUND(SUM(c_acctbal), 2) END AS acctbal_sum
+FROM cn LEFT JOIN mand_totals USING (r_name)
+GROUP BY cn.r_name
+""",
+        "pct_change": """
+SELECT user_id, event_id, ROUND((value - pv) / pv, 6) AS pct
+FROM (
+  SELECT user_id, event_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+  FROM events
+) t WHERE pv IS NOT NULL
+""",
+        "cumsum": """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+FROM events
+""",
+        "interpolate_daily": _sql_interpolate_daily(),
+        "hourly_rollup": """
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS value_sum,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+SELECT user_id, SUM(new_session)::BIGINT AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+) t GROUP BY user_id
+""",
+        "melt_lineitem": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+        "pivot_priority": """
+SELECT o_custkey,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)::BIGINT AS n_urgent,
+       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)::BIGINT AS n_high,
+       SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)::BIGINT AS n_medium,
+       SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)::BIGINT AS n_notspec,
+       SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)::BIGINT AS n_low
+FROM orders GROUP BY o_custkey
+""",
+        "dedup_exact": """
+SELECT SHA256(text) AS text_sha256, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+        "fingerprint": """
+SELECT doc_id,
+       SHA256(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', '', 'g'),
+                                  '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+        "minhash_lsh_pairs": _sql_minhash_lsh(),
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "simhash16": _sql_simhash16(),
+        "embed_cosine_pairs": _sql_embed_pairs(),
+        "ann_topk": _sql_ann_topk(),
+        "text_quality": _sql_quality(),
+        "langid": _sql_langid(),
+        "token_counts": """
+SELECT doc_id,
+       ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))::BIGINT AS n_tokens,
+       ARRAY_LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
+    }

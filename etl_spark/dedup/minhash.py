@@ -1,0 +1,98 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline: word n-gram shingles -> K minhashes -> band keys ->
+bucket self-join -> candidate pairs (optionally verified with exact
+Jaccard, etl_spark.dedup.jaccard).
+
+Hash choice: minhash_i(doc) = min over shingles of sha256(i || ":" ||
+shingle). sha256-as-hex compares lexicographically like bytes, is
+identical in every engine (unlike murmur/xxhash whose seeds differ
+across engines), and K independent "permutations" come from the i
+prefix. For the scale path the same structure runs on xxhash64
+(cheaper); sha256 is the portable/testable default.
+
+Scale notes: signatures are computed in one projection (transform +
+array_min — no explode; shingle arrays never shuffle). The LSH join
+shuffles only (band_key, id) pairs; band keys are uniform sha256
+prefixes so the bucket join cannot skew unless true duplicates skew —
+exactly the skew AQE's skew-join handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.text.analysis import word_shingles
+
+
+def _minhash_one(shingles: Column, i: int, use_xxhash: bool) -> Column:
+    if use_xxhash:
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+    return F.array_min(
+        F.transform(shingles, lambda s: F.sha2(F.concat(F.lit(f"{i}:"), s), 256))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    shingle_n: int = 3,
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """(id, sig: array of K minhashes). Documents with fewer than
+    shingle_n tokens have no shingles -> dropped (cannot minhash)."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    out = df.select(
+        F.col(id_col),
+        F.array(*[_minhash_one(sh, i, use_xxhash) for i in range(k)]).alias("sig"),
+        F.size(sh).alias("__n"),
+    )
+    return out.filter(F.col("__n") > 0).drop("__n")
+
+
+def lsh_band_keys(sig_df: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:
+    """Explode a signature into ``bands`` band keys:
+    band_key = sha256(band_index || rows-of-band). Two docs share a
+    band key iff that band's minhashes all agree."""
+    k = None  # rows per band derived from the signature length at plan time
+    sig = F.col("sig")
+    rows_per_band = F.size(sig) / bands
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    e = sig_df.select(F.col(id_col), sig, band)
+    lo = (F.col("band") * rows_per_band).cast("int") + 1
+    hi = ((F.col("band") + 1) * rows_per_band).cast("int")
+    return e.select(
+        F.col(id_col),
+        F.sha2(
+            F.concat_ws(
+                "|", F.col("band").cast("string"), F.concat_ws(",", F.slice(sig, lo, hi - lo + 1))
+            ),
+            256,
+        ).alias("band_key"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    use_xxhash: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b), deduplicated across
+    bands. Self-join on band_key; only (band_key, id) tuples shuffle."""
+    sig = minhash_signature(df, text_col, id_col, k, shingle_n, use_xxhash)
+    keys = lsh_band_keys(sig, bands, id_col)
+    a = keys.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = keys.select(F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -1,0 +1,101 @@
+"""SimHash document fingerprints.
+
+Two implementations of the same semantics (per-token hash, sum of
+±1 votes per bit, sign -> bit):
+
+- ``simhash64``: 64-bit, xxhash64-based, all native bit arithmetic in
+  one projection (transform + aggregate over the token array — no
+  explode, no shuffle). The scale path: near-dup = hamming distance
+  <= t on the 64-bit signature, or bucket on bit-prefixes for an LSH
+  join.
+- ``simhash_md5``: md5-based, parameterizable width, arithmetic only
+  (no engine-specific hash) — the cross-engine-verifiable variant the
+  DuckDB oracle reproduces bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.text.analysis import tokens
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit simhash over whitespace tokens (xxhash64 token hashes).
+
+    For each bit b: vote += (hash >> b) & 1 ? +1 : -1 over tokens;
+    bit b of the result = vote > 0. Computed as a per-row aggregate
+    over the token array — pure codegen."""
+    toks = tokens(F.lower(text))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(b: int) -> Column:
+        # sum over tokens of (2*bit - 1)
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(bit_vote(b) > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63)))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_md5(text: Column, bits: int = 16) -> Column:
+    """Arithmetic simhash (default 16 bits) whose token hash is the
+    first 4 hex chars of md5(token) interpreted as an integer — every
+    SQL engine computes the identical value (conv/ CAST of hex), which
+    makes this variant oracle-verifiable across engines."""
+    toks = tokens(F.lower(text))
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
+
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out.bitwiseOR(F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0)))
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash64 hamming distance, LSH-style:
+    bucket on each of 4 16-bit chunks (two sigs within hamming<=3
+    share at least one chunk exactly); join per chunk, verify
+    hamming on the candidates. Only (chunk_key, id, sig) shuffles."""
+    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    chunked = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(i), F.shiftrightunsigned(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
+                for i in range(4)
+            ])
+        ).alias("chunk"),
+    )
+    a = chunked.select(F.col("chunk"), F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+    b = chunked.select(F.col("chunk"), F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
+    return (
+        a.join(b, "chunk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("__sa"), F.col("__sb")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

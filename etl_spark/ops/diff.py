@@ -1,0 +1,75 @@
+"""Dataset diff tooling — the reference's ``etl diff`` harness
+(etl/datadiff.py:29-150; frame comparison with NaN==NaN and
+tolerances, lib/datautils/owid/datautils/dataframes.py:59-257)
+re-expressed as one distributed full-outer-join pass.
+
+Used by tests to debug CDC replay mismatches; exact comparison for
+string/long columns, tolerance for doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frame_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    rtol: float = 1e-8,
+    atol: float = 1e-8,
+) -> DataFrame:
+    """Row-level diff of two frames on ``keys``.
+
+    Returns one row per differing key with ``diff_kind`` in
+    {left_only, right_only, changed} and ``changed_cols`` (array of
+    column names whose values differ; NULL==NULL counts as equal,
+    doubles compare within atol + rtol*|right| — the reference's
+    are_equal contract, dataframes.py:138-160).
+    """
+    keys = list(keys)
+    shared = [c for c in left.columns if c in right.columns and c not in keys]
+    l = left.select(*keys, *[F.col(c).alias(f"__l_{c}") for c in shared], F.lit(True).alias("__in_l"))
+    r = right.select(*keys, *[F.col(c).alias(f"__r_{c}") for c in shared], F.lit(True).alias("__in_r"))
+    j = l.join(r, keys, "full_outer")
+
+    def neq(c: str):
+        lc, rc = F.col(f"__l_{c}"), F.col(f"__r_{c}")
+        dt = dict(left.dtypes)[c]
+        if dt in ("double", "float"):
+            both = lc.isNotNull() & rc.isNotNull()
+            close = F.abs(lc - rc) <= (F.lit(atol) + F.lit(rtol) * F.abs(rc))
+            return F.when(both, ~close).otherwise(~(lc.eqNullSafe(rc)))
+        return ~lc.eqNullSafe(rc)
+
+    changed = F.filter(
+        F.array(*[F.when(neq(c), F.lit(c)) for c in shared]), lambda x: x.isNotNull()
+    )
+    kind = (
+        F.when(F.col("__in_r").isNull(), F.lit("left_only"))
+        .when(F.col("__in_l").isNull(), F.lit("right_only"))
+        .when(F.size(changed) > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn("diff_kind", kind)
+        .withColumn("changed_cols", changed)
+        .filter(F.col("diff_kind").isNotNull())
+        .select(*keys, "diff_kind", "changed_cols")
+    )
+
+
+def frames_equal(left: DataFrame, right: DataFrame, keys: Sequence[str], **kw) -> bool:
+    return frame_diff(left, right, keys, **kw).limit(1).count() == 0
+
+
+def table_checksum(df: DataFrame, keys: Sequence[str]) -> str:
+    """Order-independent content checksum of a whole frame — the
+    reference's dataset checksum contract (changes with data, invariant
+    to copying/partitioning; lib/catalog/tests/test_datasets.py:215-241).
+    bit_xor of per-row xxhash64 (commutative; keyed rows are unique)."""
+    row_hash = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+    v = df.agg(F.bit_xor(row_hash).alias("d")).first()["d"]
+    return format((v or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
