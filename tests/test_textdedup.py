@@ -1,0 +1,206 @@
+"""Text-analysis, dedup and similarity-search tests.
+
+Oracles computed independently in Python (hashlib / set arithmetic /
+numpy) — never through the Spark expressions under test.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.dedup import (
+    cosine_sim,
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_md5,
+)
+from etl_spark.dedup.simhash import hamming64, simhash_neardup_pairs
+from etl_spark.sim import brute_force_topk, lsh_topk
+from etl_spark.text import (
+    bpe_token_count,
+    fingerprint,
+    langid,
+    quality_features,
+    token_count,
+    word_shingles,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "completely different words entirely here now"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "tiny"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_word_shingles(spark, docs):
+    got = {r["doc_id"]: r["s"] for r in
+           docs.select("doc_id", word_shingles(F.col("text"), 3).alias("s")).collect()}
+    words = DOCS[0][1].split()
+    expect = [" ".join(words[i:i + 3]) for i in range(len(words) - 2)]
+    assert got[0] == expect
+    assert got[4] == []  # fewer than n tokens
+
+
+def test_token_counts(spark, docs):
+    got = docs.select("doc_id", token_count(F.col("text")).alias("n"),
+                      bpe_token_count(F.col("text")).alias("b")).collect()
+    by_id = {r["doc_id"]: (r["n"], r["b"]) for r in got}
+    assert by_id[0] == (9, 9)
+    assert by_id[4] == (1, 1)
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dup_groups(docs)
+    sha0 = hashlib.sha256(DOCS[0][1].encode()).hexdigest()
+    by_sha = {r["text_sha256"]: (r["keep_id"], r["n_dups"]) for r in groups.collect()}
+    assert by_sha[sha0] == (0, 2)
+    kept = exact_dedup(docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4]
+
+
+def test_minhash_identical_docs_same_signature(spark, docs):
+    sig = {r["doc_id"]: r["sig"] for r in minhash_signature(docs, k=4).collect()}
+    assert sig[0] == sig[3]
+    assert sig[0] != sig[2]
+    assert 4 not in sig  # too short to shingle
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(docs, k=8, bands=4).collect()}
+    assert (0, 3) in pairs  # identical docs always collide in every band
+    assert (0, 2) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, pairs).collect()}
+    assert got[(0, 3)] == 1.0
+    assert got[(0, 2)] == 0.0
+    # doc0 vs doc1: 7 shingles each, 6 shared -> 6/8
+    assert got[(0, 1)] == round(6 / 8, 6)
+
+
+def test_simhash_properties(spark, docs):
+    for expr in (simhash64(F.col("text")), simhash_md5(F.col("text"), 16)):
+        sig = {r["doc_id"]: r["s"] for r in docs.select("doc_id", expr.alias("s")).collect()}
+        assert sig[0] == sig[3]  # identical docs
+        assert sig[0] != sig[2]  # unrelated docs
+    near = docs.select(
+        simhash64(F.col("text")).alias("a")
+    ).crossJoin(docs.select(simhash64(F.col("text")).alias("b")))
+    h = near.select(hamming64(F.col("a"), F.col("b")).alias("h")).agg(F.min("h")).first()[0]
+    assert h == 0
+
+
+def test_simhash_md5_reference_value(spark):
+    """Pin the md5-simhash to an independently computed value."""
+    text = "alpha beta gamma"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(simhash_md5(F.col("text"), 16).alias("s")).first()["s"]
+    votes = [0] * 16
+    for tok in text.split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+        for b in range(16):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    expect = sum(1 << b for b in range(16) if votes[b] > 0)
+    assert got == expect
+
+
+def test_simhash_neardup_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_neardup_pairs(docs, max_hamming=3).collect()}
+    assert (0, 3) in pairs
+    assert (0, 2) not in pairs
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [1.0, 0.0, 0.0]),
+]
+
+
+@pytest.fixture()
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_and_neardup(spark, vecs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           embedding_neardup_pairs(vecs, pairs, threshold=-2.0).collect()}
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+    assert out[(0, 3)] == 1.0
+    assert out[(0, 2)] == 0.0
+    assert abs(out[(0, 1)] - cos(VECS[0][1], VECS[1][1])) < 1e-6
+    near = embedding_neardup_pairs(vecs, pairs, threshold=0.95)
+    assert {(r["id_a"], r["id_b"]) for r in near.collect()} == {(0, 1), (0, 3)}
+
+
+def test_brute_force_topk(spark, vecs):
+    out = brute_force_topk(vecs.filter("vec_id = 0"), vecs, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2)]
+
+
+def test_lsh_topk_subset_of_brute(spark, vecs):
+    """LSH results are always true neighbors (scored exactly); the
+    identical vector must be found (same bucket by construction)."""
+    out = lsh_topk(vecs.filter("vec_id = 0"), vecs, k=2, n_planes=4)
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert 3 in got
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat with a hat and a bat today ok")], "doc_id long, text string"
+    )
+    r = quality_features(df, "text", id_cols=["doc_id"]).first()
+    assert r["n_tokens"] == 14
+    assert r["stopword_ratio"] > 0
+    assert r["quality_keep"] is True
+    short = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    assert quality_features(short, "text", id_cols=["doc_id"]).first()["quality_keep"] is False
+
+
+def test_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "la casa el perro que corre la calle"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", langid(F.col("text")).alias("l")).collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world"), (2, "HELLO ... WORLD")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[0] == hashlib.sha256(b"hello world").hexdigest()
