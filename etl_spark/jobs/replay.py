@@ -1,0 +1,138 @@
+"""spark-submit entry point: WAL -> lake-table CDC replay.
+
+Cluster usage (the north rule's deployment shape):
+
+    zip -r etl_spark.zip etl_spark
+    spark-submit --py-files etl_spark.zip etl_spark/jobs/replay.py \
+        --wal /data/wal --table /lake/repos \
+        --checkpoint /chk/repos --mode stream
+
+Local smoke (this sandbox):
+
+    spark-submit --master local[8] --py-files etl_spark.zip \
+        etl_spark/jobs/replay.py --wal ... --table ... --mode batch
+
+Modes:
+- ``stream``: Structured Streaming tail with Trigger.AvailableNow —
+  drains the backlog in rate-limited micro-batches with exactly-once
+  manifest fencing + per-partition lineage, then stops. Rerun the
+  same command to pick up new WAL files from the checkpoint (or run
+  with --continuous to tail forever).
+- ``batch``: schema-phase-ordered batch replay (one epoch per WAL
+  schema phase) — deterministic epochs, no checkpoint needed;
+  restart-safe through the manifest fence alone.
+
+On exit prints ONE JSON line of run metrics (epochs applied/skipped,
+rows, versions, events/sec) — machine-readable for orchestration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="CDC replay: WAL -> lake table")
+    p.add_argument("--wal", required=True, help="WAL directory (ordered parquet)")
+    p.add_argument("--table", required=True, help="lake table root")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir (stream mode)")
+    p.add_argument("--mode", choices=["stream", "batch"], default="stream")
+    p.add_argument("--continuous", action="store_true",
+                   help="stream mode: tail forever instead of drain-and-stop")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--key-cols", default="repo,path")
+    p.add_argument("--seq-col", default="seq")
+    p.add_argument("--checksum-col", default="content_sha256",
+                   help="derived sha256 column ('' to disable)")
+    p.add_argument("--checksum-src", default="content")
+    p.add_argument("--salted", action="store_true",
+                   help="use the explicit two-phase salted dedup stage")
+    p.add_argument("--lineage-ranges", type=int, default=8)
+    return p
+
+
+def ensure_table(spark, args):
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.sources.wal import EVENT_SCHEMA_EVOLVED
+
+    if LakeTable.exists(args.table):
+        return LakeTable(spark, args.table)
+    keys = args.key_cols.split(",")
+    user_fields = [
+        f for f in EVENT_SCHEMA_EVOLVED.fields if f.name not in ("op", "ts", args.seq_col)
+    ]
+    if args.checksum_col:
+        user_fields.append(T.StructField(args.checksum_col, T.StringType(), True))
+    derived = (
+        {args.checksum_col: ("sha256", args.checksum_src)} if args.checksum_col else None
+    )
+    return LakeTable.create(
+        spark, args.table, T.StructType(user_fields), keys,
+        n_buckets=args.n_buckets, derived=derived,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("etl_spark.replay").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from etl_spark.cdc import replay as R
+    from etl_spark.sources.wal import wal_schema_phases
+    from etl_spark.streaming.driver import CdcStream
+
+    table = ensure_table(spark, args)
+    v_before = table.current_version()
+    epochs_before = len(table.committed_epochs())
+    t0 = time.time()
+
+    if args.mode == "stream":
+        if not args.checkpoint:
+            print("--checkpoint is required in stream mode", file=sys.stderr)
+            return 2
+        stream = CdcStream(
+            table, args.checkpoint, salted=args.salted,
+            lineage_ranges=args.lineage_ranges,
+        )
+        if args.continuous:
+            q = stream.start(spark, args.wal,
+                             max_files_per_trigger=args.max_files_per_trigger,
+                             available_now=False)
+            q.awaitTermination()
+        else:
+            stream.run_to_completion(
+                spark, args.wal, max_files_per_trigger=args.max_files_per_trigger
+            )
+    else:
+        for ep, (files, sch) in enumerate(wal_schema_phases(args.wal)):
+            batch = spark.read.schema(sch).parquet(*files)
+            R.apply_batch(table, batch, epoch=ep, salted=args.salted)
+
+    dt = time.time() - t0
+    epochs_after = table.committed_epochs()
+    rows = table.row_count()
+    metrics = {
+        "mode": args.mode,
+        "wal": args.wal,
+        "table": args.table,
+        "seconds": round(dt, 2),
+        "version_before": v_before,
+        "version_after": table.current_version(),
+        "epochs_total": len(epochs_after),
+        "epochs_applied": len(epochs_after) - epochs_before,
+        "rows": rows,
+    }
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,150 @@
+"""File sources with the reference's snapshot discipline.
+
+The reference reads immutable, md5-pinned source files (DVC,
+etl/snapshot.py:50-172; md5 verify lib/walden/owid/walden/files.py:75-86)
+into metadata-carrying tables with normalized (underscored) column
+names (lib/catalog/owid/catalog/utils.py:17-26, tables.py:1070-1146),
+and writes JSON sidecar metadata next to the data
+(tables.py:243-251 — deliberately NOT embedded, to keep partial reads
+cheap). Re-expressed here:
+
+- ``read_csv`` / ``read_json`` / ``read_parquet``: explicit-schema
+  readers (never inference in production paths — inference is a full
+  extra pass at scale) with snake_case column normalization;
+- ``Snapshot``: a pinned file + expected md5; ``read`` verifies the
+  pin before handing the DataFrame over — the immutability contract
+  that makes replay deterministic;
+- ``write_with_meta`` / ``read_meta``: dataset + JSON sidecar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def underscore(name: str) -> str:
+    """snake_case a column name — the reference's mandatory naming
+    normalization (utils.py:17-26, enforced at datasets.py:99-101)."""
+    s = re.sub(r"[^\w]+", "_", name.strip())
+    s = re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s)
+    s = re.sub(r"_+", "_", s).strip("_").lower()
+    return s or "_"
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    cols = [underscore(c) for c in df.columns]
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"column name collision after normalization: {cols}")
+    return df.toDF(*cols)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    r = spark.read.options(header=str(header).lower(), **options)
+    df = (r.schema(schema) if schema is not None else r.option("inferSchema", "true")).csv(path)
+    return normalize_columns(df)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options
+) -> DataFrame:
+    r = spark.read.options(**options)
+    df = (r.schema(schema) if schema is not None else r).json(path)
+    return normalize_columns(df)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return normalize_columns(r.parquet(path))
+
+
+def file_md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+class SnapshotError(RuntimeError):
+    pass
+
+
+class Snapshot:
+    """An immutable, checksum-pinned local source file.
+
+    ``read`` refuses to load bytes that do not match the pin — a
+    changed upstream file must arrive as a NEW snapshot (new pin),
+    which is what makes any replay over it reproducible. This is the
+    reference's DVC-md5 contract (etl/snapshot.py:290-295) without
+    DVC."""
+
+    def __init__(self, path: str, md5: str, fmt: str = "csv", schema=None, **options):
+        self.path = path
+        self.md5 = md5
+        self.fmt = fmt
+        self.schema = schema
+        self.options = options
+
+    def verify(self) -> None:
+        actual = file_md5(self.path)
+        if actual != self.md5:
+            raise SnapshotError(
+                f"snapshot pin mismatch for {self.path}: expected {self.md5}, got {actual}"
+            )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self.verify()
+        if self.fmt == "csv":
+            return read_csv(spark, self.path, schema=self.schema, **self.options)
+        if self.fmt == "json":
+            return read_json(spark, self.path, schema=self.schema, **self.options)
+        if self.fmt == "parquet":
+            return read_parquet(spark, self.path, schema=self.schema)
+        raise ValueError(f"unsupported snapshot format: {self.fmt}")
+
+    @classmethod
+    def pin(cls, path: str, fmt: str = "csv", schema=None, **options) -> "Snapshot":
+        """Create the pin for an existing file (the snapshot-publish
+        step, etl/snapshot.py:80-121)."""
+        return cls(path, file_md5(path), fmt=fmt, schema=schema, **options)
+
+
+# ---------------------------------------------------------------------------
+# dataset + sidecar metadata (tables.py:120-256 write path)
+# ---------------------------------------------------------------------------
+
+
+def write_with_meta(
+    df: DataFrame, path: str, meta: dict | None = None, mode: str = "overwrite"
+) -> None:
+    """Write parquet + a ``.meta.json`` sidecar (metadata out-of-band,
+    exactly like the reference keeps it out of the parquet schema so
+    readers do not pay for it)."""
+    df.write.mode(mode).parquet(path)
+    sidecar = {
+        "columns": [{"name": f.name, "type": f.dataType.simpleString()} for f in df.schema.fields],
+        **(meta or {}),
+    }
+    with open(os.path.join(path, ".meta.json"), "w") as f:
+        json.dump(sidecar, f, indent=2, sort_keys=True)
+
+
+def read_meta(path: str) -> dict:
+    with open(os.path.join(path, ".meta.json")) as f:
+        return json.load(f)

@@ -1,0 +1,77 @@
+"""File sources + spark-submit job entry tests."""
+
+import json
+import os
+
+import pytest
+
+from etl_spark.sources.files import (
+    Snapshot,
+    SnapshotError,
+    file_md5,
+    normalize_columns,
+    read_csv,
+    read_meta,
+    underscore,
+    write_with_meta,
+)
+
+
+def test_underscore():
+    assert underscore("GDP per Capita (US$)") == "gdp_per_capita_us"
+    assert underscore("camelCaseName") == "camel_case_name"
+    assert underscore("already_ok") == "already_ok"
+
+
+def test_read_csv_normalizes(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("Country Name,Year,GDP (US$)\nfr,2000,1.5\nde,2001,2.5\n")
+    df = read_csv(spark, str(p), schema="country_name string, year int, gdp_us double")
+    assert df.columns == ["country_name", "year", "gdp_us"]
+    assert df.count() == 2
+
+
+def test_snapshot_pin_roundtrip(spark, tmp_path):
+    p = tmp_path / "src.csv"
+    p.write_text("a,b\n1,x\n")
+    snap = Snapshot.pin(str(p), fmt="csv", schema="a int, b string")
+    assert snap.read(spark).count() == 1
+    # mutate the file -> pin must refuse
+    p.write_text("a,b\n1,x\n2,y\n")
+    with pytest.raises(SnapshotError):
+        snap.read(spark)
+    assert Snapshot.pin(str(p)).md5 == file_md5(str(p))
+
+
+def test_write_with_meta_sidecar(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    out = str(tmp_path / "ds")
+    write_with_meta(df, out, meta={"source": "unit", "version": "2026-01-01"})
+    m = read_meta(out)
+    assert m["source"] == "unit"
+    assert {c["name"] for c in m["columns"]} == {"k", "v"}
+    back = spark.read.parquet(out)
+    assert back.count() == 1
+
+
+def test_replay_job_batch_mode(spark, tmp_path):
+    """Drive the spark-submit main() in-process: batch replay, then a
+    rerun that must apply zero new epochs."""
+    from etl_spark.cdc.generator import write_event_log, generate_events, oracle_final_state
+    from etl_spark.jobs.replay import main
+
+    wal = str(tmp_path / "wal")
+    tbl = str(tmp_path / "tbl")
+    write_event_log(spark, wal, 4000, files=3)
+    rc = main(["--wal", wal, "--table", tbl, "--mode", "batch", "--n-buckets", "8"])
+    assert rc == 0
+    rc = main(["--wal", wal, "--table", tbl, "--mode", "batch", "--n-buckets", "8"])
+    assert rc == 0
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, tbl)
+    exp = oracle_final_state(generate_events(spark, 4000).toPandas())
+    assert t.row_count() == len(exp)
+    got = (t.read().select("repo", "path", "content_sha256")
+           .orderBy("repo", "path").toPandas().reset_index(drop=True))
+    assert list(got["content_sha256"]) == list(exp["content_sha256"])
