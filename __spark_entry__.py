@@ -41,6 +41,7 @@ from etl_spark.ops import (
     pct_change,
     pivot_wide,
     region_aggregate,
+    rolling,
 )
 from etl_spark.sim.ann import brute_force_topk
 from etl_spark.text.analysis import (
@@ -298,6 +299,28 @@ def q_cumsum(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = cumsum(ev, ["user_id"], "event_id", "value", target="running_value")
     return out.select("user_id", "event_id", F.round("running_value", 6).alias("running_value"))
+
+
+def q_rolling_avg(spark, sf_dir):
+    """Trailing 7-row rolling mean per user (pandas rolling semantics:
+    NULL until the window fills)."""
+    ev = _t(spark, sf_dir, "events")
+    out = rolling(ev, ["user_id"], "event_id", "value", window=7, agg="mean", target="roll")
+    return out.filter(F.col("roll").isNotNull()).select(
+        "user_id", "event_id", F.round("roll", 6).alias("roll_avg")
+    )
+
+
+def q_topk_per_user(spark, sf_dir):
+    """Top-3 events by value per user (deterministic: rounded value +
+    event_id tie-break) — the generic grouped top-k."""
+    ev = _t(spark, sf_dir, "events").withColumn("v", F.round("value", 6))
+    w = Window.partitionBy("user_id").orderBy(F.desc("v"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", F.col("v").alias("value"), "rank")
+    )
 
 
 def q_interpolate_daily(spark, sf_dir):
@@ -679,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_mandatory_agg": q_region_mandatory_agg,
         "pct_change": q_pct_change,
         "cumsum": q_cumsum,
+        "rolling_avg": q_rolling_avg,
+        "topk_per_user": q_topk_per_user,
         "interpolate_daily": q_interpolate_daily,
         "hourly_rollup": q_hourly_rollup,
         "sessionize": q_sessionize,
@@ -800,6 +825,25 @@ SELECT user_id, event_id,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
 FROM events
+""",
+        "rolling_avg": """
+SELECT user_id, event_id, ROUND(ra, 6) AS roll_avg
+FROM (
+  SELECT user_id, event_id,
+         AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ra,
+         COUNT(value) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt
+  FROM events
+) t WHERE cnt >= 7
+""",
+        "topk_per_user": """
+SELECT user_id, event_id, v AS value, rank
+FROM (
+  SELECT user_id, event_id, ROUND(value, 6) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ROUND(value, 6) DESC, event_id ASC) AS rank
+  FROM events
+) t WHERE rank <= 3
 """,
         "interpolate_daily": _sql_interpolate_daily(),
         "hourly_rollup": """

@@ -115,11 +115,15 @@ def apply_batch(table, events: DataFrame, epoch=None, salted: bool = False) -> d
     shuffle instead of two, ~events-per-key fewer hashes. Otherwise
     the classic stage-then-merge path runs (checksums computed during
     staging so they land in the table without a derived spec)."""
-    if table.derived_columns:
+    if table.derived_columns and not salted:
         ev = canonicalize(events)
         if "ts" in ev.columns:
             ev = ev.drop("ts")
         return table.merge_cdc(ev, epoch=epoch)
+    # salted=True always routes through the staged path: the two-phase
+    # salted reduction pre-shrinks pathologically hot keys BEFORE the
+    # merge shuffle (the north rule's explicit mitigation), at the cost
+    # of one extra payload pass
     staged = stage_batch(events, salted=salted)
     return table.merge_cdc(staged, epoch=epoch)
 

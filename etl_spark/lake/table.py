@@ -504,6 +504,46 @@ class LakeTable:
 
     # ---------- maintenance ----------
 
+    def purge_tombstones(self, watermark_seq: int) -> int:
+        """Drop retained delete tombstones with seq <= watermark.
+
+        Tombstones exist to defeat out-of-order replay of OLDER events
+        (SURVEY.md hard part #1); once the WAL reader guarantees no
+        event below ``watermark_seq`` can still arrive (e.g. the
+        streaming checkpoint has passed it), they are dead weight and
+        compaction may remove them. Rewrites only buckets that hold
+        purgeable tombstones."""
+        seq = self.seq_col
+        full = self.read(include_tombstones=True)
+        purgeable = full.filter(
+            F.coalesce(F.col(_DELETED), F.lit(False)) & (F.col(seq) <= watermark_seq)
+        )
+        dirty = {
+            int(r["b"])
+            for r in purgeable.select(self._bucket_keys_expr(self.schema()).alias("b"))
+            .distinct().collect()
+        }
+        if not dirty:
+            return self.current_version()
+        m = self.manifest()
+        keep = self.read(buckets=dirty, include_tombstones=True).filter(
+            ~(F.coalesce(F.col(_DELETED), F.lit(False)) & (F.col(seq) <= watermark_seq))
+        )
+        v = m["version"] + 1
+        schema = self.schema()
+        written = self._write_buckets(
+            keep.withColumn(_BUCKET, self._bucket_expr(self.key_cols)), v, schema
+        )
+        for ent in written.values():
+            ent["sid"] = m["current_schema_id"]
+        new_buckets = dict(m["buckets"])
+        for b in dirty:
+            new_buckets.pop(str(b), None)
+        new_buckets.update(written)
+        m2 = {**m, "version": v, "parent": m["version"], "buckets": new_buckets,
+              "committed_at": time.time(), "note": f"purge_tombstones<={watermark_seq}"}
+        return self._commit(m2)
+
     def expire_versions(self, keep_last: int = 2) -> None:
         """Drop data dirs only referenced by expired manifests."""
         cur = self.current_version()

@@ -17,6 +17,8 @@ from etl_spark.ops.relational import (
     pct_change,
     pivot_wide,
     region_aggregate,
+    rolling,
+    shift,
 )
 
 __all__ = [
@@ -31,4 +33,6 @@ __all__ = [
     "pct_change",
     "pivot_wide",
     "region_aggregate",
+    "rolling",
+    "shift",
 ]

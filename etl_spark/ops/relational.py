@@ -192,6 +192,40 @@ def cumsum(
     return df.withColumn(target, F.sum(value_col).over(w))
 
 
+def shift(
+    df: DataFrame, group_cols: Sequence[str], order_col: str, value_col: str,
+    periods: int = 1, target: str = "shifted",
+) -> DataFrame:
+    """pandas ``shift`` per group (lag/lead by sign of periods)."""
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    fn = F.lag(value_col, periods) if periods >= 0 else F.lead(value_col, -periods)
+    return df.withColumn(target, fn.over(w))
+
+
+def rolling(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window: int,
+    agg: str = "mean",
+    target: str = "rolling",
+    min_periods: int | None = None,
+) -> DataFrame:
+    """pandas ``rolling(window).agg()`` per group — trailing row-count
+    frame. ``min_periods`` (default = window, pandas semantics) nulls
+    out rows with too little history."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    val = _AGG_FNS[agg](F.col(value_col)).over(w)
+    need = window if min_periods is None else min_periods
+    n = F.count(F.col(value_col)).over(w)
+    return df.withColumn(target, F.when(n >= need, val))
+
+
 def interpolate_linear(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -341,6 +375,24 @@ def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
     dups = duplicate_keys(df, keys).limit(5).collect()
     if dups:
         raise ValueError(f"non-unique keys {list(keys)}: {dups}")
+
+
+def check_known_columns(df: DataFrame, known: Sequence[str], strict: bool = True) -> list[str]:
+    """The reference's known-columns check (etl/data_helpers/misc.py:18-45):
+    returns unexpected columns; raises in strict mode."""
+    unexpected = [c for c in df.columns if c not in known]
+    if strict and unexpected:
+        raise ValueError(f"unexpected columns: {unexpected}")
+    return unexpected
+
+
+def values_outside_domain(df: DataFrame, column: str, allowed: Sequence) -> DataFrame:
+    """Distinct values of ``column`` not in the allowed domain —
+    the reference's domain check as an auditable DataFrame."""
+    return (
+        df.select(column).distinct()
+        .filter(~F.col(column).isin(list(allowed)) | F.col(column).isNull())
+    )
 
 
 def row_sum(df: DataFrame, cols: Sequence[str], target: str) -> DataFrame:

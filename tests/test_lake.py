@@ -162,3 +162,28 @@ def test_expire_versions(spark, tmp_path):
         t.merge_cdc(_src(spark, [("a", i, "update" if i else "insert", i + 1)]), epoch=i)
     t.expire_versions(keep_last=1)
     assert t.read().first()["v"] == 3  # current still readable
+
+
+def test_purge_tombstones(spark, tmp_path, repos_schema):
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=4)
+    src = spark.createDataFrame(
+        [("r", "a", "c1", None, "x", "insert", 1),
+         ("r", "b", "c2", None, "y", "insert", 2),
+         ("r", "a", None, None, None, "delete", 3)],
+        "repo string, path string, commit string, lang string, content string, op string, seq long",
+    )
+    t.merge_cdc(src, epoch=0)
+    assert t.read().count() == 1
+    assert t.read(include_tombstones=True).count() == 2
+    # watermark below the tombstone seq: nothing purged
+    t.purge_tombstones(2)
+    assert t.read(include_tombstones=True).count() == 2
+    t.purge_tombstones(3)
+    assert t.read(include_tombstones=True).count() == 1
+    assert t.read().count() == 1
+    # after purge, an out-of-order OLD event for the purged key re-inserts
+    # (documented contract: only purge below the reader's watermark)

@@ -171,3 +171,31 @@ def test_table_checksum_partition_invariant(spark):
     assert c1 == c2
     c3 = table_checksum(df.filter("k < 99"), ["k"])
     assert c1 != c3
+
+
+def test_shift_and_rolling(spark):
+    from etl_spark.ops import rolling, shift
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 6)], "g string, t long, v double"
+    )
+    sh = {r["t"]: r["shifted"] for r in shift(df, ["g"], "t", "v", 1).collect()}
+    assert sh == {1: None, 2: 1.0, 3: 2.0, 4: 3.0, 5: 4.0}
+    ld = {r["t"]: r["shifted"] for r in shift(df, ["g"], "t", "v", -1).collect()}
+    assert ld[5] is None and ld[1] == 2.0
+    rl = {r["t"]: r["rolling"] for r in rolling(df, ["g"], "t", "v", 3, "mean").collect()}
+    assert rl == {1: None, 2: None, 3: 2.0, 4: 3.0, 5: 4.0}
+    rl2 = {r["t"]: r["rolling"] for r in
+           rolling(df, ["g"], "t", "v", 3, "sum", min_periods=1).collect()}
+    assert rl2 == {1: 1.0, 2: 3.0, 3: 6.0, 4: 9.0, 5: 12.0}
+
+
+def test_domain_checks(spark):
+    from etl_spark.ops.relational import check_known_columns, values_outside_domain
+
+    df = spark.createDataFrame([("x", 1), ("q", 2), (None, 3)], "c string, v long")
+    assert check_known_columns(df, ["c", "v", "extra"]) == []
+    with pytest.raises(ValueError):
+        check_known_columns(df, ["c"])
+    bad = sorted((r["c"] or "~null~") for r in values_outside_domain(df, "c", ["x", "y"]).collect())
+    assert bad == ["q", "~null~"]
