@@ -504,6 +504,45 @@ class LakeTable:
 
     # ---------- maintenance ----------
 
+    def rebucket(self, n_buckets: int) -> int:
+        """Atomically rewrite the table with a new bucket count — the
+        scale knob as a table grows (more buckets => smaller COW
+        rewrite units and more write parallelism). One full rewrite;
+        readers see old or new layout, never a mix (manifest flip)."""
+        m = self.manifest()
+        schema = self.schema()
+        df = self.read(include_tombstones=True)
+        v = m["version"] + 1
+        new_b = F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(n_buckets))
+        data_dir = os.path.join(self.root, "data", f"v{v}")
+        ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        (df.withColumn(_BUCKET, new_b).select(F.col(_BUCKET), *ordered)
+           .repartition(n_buckets, F.col(_BUCKET))
+           .write.partitionBy(_BUCKET).mode("overwrite").parquet(data_dir))
+        out = {}
+        for d in os.listdir(data_dir):
+            if d.startswith(f"{_BUCKET}="):
+                b = int(d.split("=")[1])
+                out[str(b)] = {"path": os.path.join(data_dir, d), "sid": m["current_schema_id"]}
+        if out:
+            back = self.spark.read.schema(schema).parquet(*[e["path"] for e in out.values()])
+            dead = F.coalesce(F.col(_DELETED), F.lit(False))
+            counts = {
+                r["b"]: (r["live"], r["dead"])
+                for r in back.withColumn(
+                    "b", F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(n_buckets))
+                ).groupBy("b").agg(
+                    F.count(F.when(~dead, 1)).alias("live"),
+                    F.count(F.when(dead, 1)).alias("dead"),
+                ).collect()
+            }
+            for b, ent in out.items():
+                live, deadn = counts.get(int(b), (0, 0))
+                ent["rows"], ent["tombstones"] = int(live), int(deadn)
+        m2 = {**m, "version": v, "parent": m["version"], "n_buckets": n_buckets,
+              "buckets": out, "committed_at": time.time(), "note": f"rebucket->{n_buckets}"}
+        return self._commit(m2)
+
     def purge_tombstones(self, watermark_seq: int) -> int:
         """Drop retained delete tombstones with seq <= watermark.
 

@@ -187,3 +187,32 @@ def test_purge_tombstones(spark, tmp_path, repos_schema):
     assert t.read().count() == 1
     # after purge, an out-of-order OLD event for the purged key re-inserts
     # (documented contract: only purge below the reader's watermark)
+
+
+def test_rebucket(spark, tmp_path, repos_schema):
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "rb"), repos_schema, ["repo", "path"], n_buckets=2)
+    src = spark.createDataFrame(
+        [(f"r{i%3}", f"p{i}", f"c{i}", None, f"body{i}", "insert", i) for i in range(50)],
+        "repo string, path string, commit string, lang string, content string, op string, seq long",
+    )
+    t.merge_cdc(src, epoch=0)
+    before = {tuple(r) for r in t.read().select("repo", "path", "content").collect()}
+    v = t.rebucket(8)
+    assert t.n_buckets == 8
+    after = {tuple(r) for r in t.read().select("repo", "path", "content").collect()}
+    assert before == after
+    assert t.row_count() == 50
+    # merges keep working against the new layout
+    up = spark.createDataFrame(
+        [("r0", "p0", "c99", None, "new", "update", 100)],
+        "repo string, path string, commit string, lang string, content string, op string, seq long",
+    )
+    t.merge_cdc(up, epoch=1)
+    got = t.read().filter("path = 'p0'").first()
+    assert got["content"] == "new"
+    # old version still readable (time travel across rebucket)
+    assert t.read(version=v - 1).count() == 50
