@@ -259,21 +259,24 @@ class LakeTable:
             if d.startswith(f"{_BUCKET}="):
                 b = int(d.split("=")[1])
                 out[str(b)] = {"path": os.path.join(data_dir, d)}
-        # per-bucket live/tombstone counts in one small job (<= n_buckets rows)
+        # per-bucket live/tombstone counts: the write layout is
+        # partitioned by bucket, so the count-back scans ONLY the
+        # boolean tombstone column + the partition value — not the
+        # payload (was a full re-read of every written byte).
         if out:
-            back = self.spark.read.schema(schema).parquet(*[e["path"] for e in out.values()])
+            back = self.spark.read.parquet(data_dir)
             dead = (
                 F.coalesce(F.col(_DELETED), F.lit(False))
-                if _DELETED in schema.names
+                if _DELETED in back.columns
                 else F.lit(False)
             )
             counts = {
-                r["b"]: (r["live"], r["dead"])
-                for r in back.withColumn("b", self._bucket_keys_expr(schema))
+                int(r["b"]): (r["live"], r["dead"])
+                for r in back.select(F.col(_BUCKET).alias("b"), dead.alias("d"))
                 .groupBy("b")
                 .agg(
-                    F.count(F.when(~dead, 1)).alias("live"),
-                    F.count(F.when(dead, 1)).alias("dead"),
+                    F.count(F.when(~F.col("d"), 1)).alias("live"),
+                    F.count(F.when(F.col("d"), 1)).alias("dead"),
                 )
                 .collect()
             }
@@ -405,10 +408,19 @@ class LakeTable:
         # window needs no further exchange — HashPartitioning on the
         # keys satisfies its distribution) and places every row in the
         # partition that IS its output bucket (see _bucket_expr), so
-        # the bucketed write below shuffles nothing. A max_by(struct)
-        # aggregate computes the same thing but through
-        # ObjectHashAggregate heap buffers — measured to GC-thrash and
-        # anti-scale beyond ~8 threads on wide string payloads.
+        # the bucketed write below shuffles nothing. Catalyst turns the
+        # rn=1 filter into WindowGroupLimit (top-1 per key during the
+        # sort). A max_by(struct) aggregate computes the same thing but
+        # via ObjectHashAggregate heap buffers — measured to GC-thrash
+        # and anti-scale beyond ~8 threads on wide string payloads.
+        # Alternative considered and measured: omitting the repartition
+        # makes Spark insert a PARTIAL WindowGroupLimit below its own
+        # exchange (map-side top-1 = built-in salting), but that costs
+        # a full map-side sort — net slower at typical ~4 events/key,
+        # and the explicit plan already absorbs a 50%-hot-key batch
+        # (one reducer sorts it; measured no slowdown). For extreme
+        # skew beyond that, apply_batch(salted=True) pre-shrinks hot
+        # keys with the two-phase salted reduction.
         from pyspark.sql import Window
 
         part = union.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
@@ -525,15 +537,14 @@ class LakeTable:
                 b = int(d.split("=")[1])
                 out[str(b)] = {"path": os.path.join(data_dir, d), "sid": m["current_schema_id"]}
         if out:
-            back = self.spark.read.schema(schema).parquet(*[e["path"] for e in out.values()])
+            back = self.spark.read.parquet(data_dir)
             dead = F.coalesce(F.col(_DELETED), F.lit(False))
             counts = {
-                r["b"]: (r["live"], r["dead"])
-                for r in back.withColumn(
-                    "b", F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(n_buckets))
-                ).groupBy("b").agg(
-                    F.count(F.when(~dead, 1)).alias("live"),
-                    F.count(F.when(dead, 1)).alias("dead"),
+                int(r["b"]): (r["live"], r["dead"])
+                for r in back.select(F.col(_BUCKET).alias("b"), dead.alias("d"))
+                .groupBy("b").agg(
+                    F.count(F.when(~F.col("d"), 1)).alias("live"),
+                    F.count(F.when(F.col("d"), 1)).alias("dead"),
                 ).collect()
             }
             for b, ent in out.items():
