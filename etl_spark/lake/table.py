@@ -49,6 +49,11 @@ _BUCKET = "_b"
 _DELETED = "_deleted"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency, Iceberg-style): re-read CURRENT and retry the merge."""
+
+
 def _atomic_write(path: str, text: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -56,6 +61,26 @@ def _atomic_write(path: str, text: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def _atomic_create(path: str, text: str) -> None:
+    """Exclusive-create then rename: the version file is the
+    commit-claim token. A concurrent writer racing for the same
+    version number loses with CommitConflictError instead of silently
+    clobbering the other's commit."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        # hard link = atomic fail-if-exists on POSIX (os.replace would
+        # overwrite); falls back to the link target staying in place
+        os.link(tmp, path)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise CommitConflictError(f"version file already committed: {path}")
+    os.unlink(tmp)
 
 
 class LakeTable:
@@ -293,7 +318,10 @@ class LakeTable:
 
     def _commit(self, new_manifest: dict) -> int:
         v = new_manifest["version"]
-        _atomic_write(os.path.join(self._meta_dir, f"v{v}.json"), json.dumps(new_manifest))
+        # exclusive create: loses cleanly (CommitConflictError) if a
+        # concurrent writer claimed version v first; CURRENT then
+        # flips only after the manifest is durable (index-last commit)
+        _atomic_create(os.path.join(self._meta_dir, f"v{v}.json"), json.dumps(new_manifest))
         _atomic_write(os.path.join(self._meta_dir, "CURRENT"), str(v))
         return v
 

@@ -216,3 +216,26 @@ def test_rebucket(spark, tmp_path, repos_schema):
     assert got["content"] == "new"
     # old version still readable (time travel across rebucket)
     assert t.read(version=v - 1).count() == 50
+
+
+def test_commit_conflict_detected(spark, tmp_path, repos_schema):
+    """Optimistic concurrency: a writer racing for an already-claimed
+    version number fails loudly instead of clobbering the other commit."""
+    import pytest as _pytest
+
+    from etl_spark.lake.table import CommitConflictError, LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "cc"), repos_schema, ["repo", "path"], n_buckets=2)
+    src = spark.createDataFrame(
+        [("r", "p", "c", None, "x", "insert", 1)],
+        "repo string, path string, commit string, lang string, content string, op string, seq long",
+    )
+    t.merge_cdc(src, epoch=0)
+    # simulate a second writer that read version 0 and tries to commit v1
+    stale = LakeTable(spark, str(tmp_path / "cc"))
+    m0 = stale.manifest(0)
+    with _pytest.raises(CommitConflictError):
+        stale._commit({**m0, "version": 1, "parent": 0})
+    # the real v1 is intact
+    assert t.current_version() == 1
+    assert t.read().count() == 1
