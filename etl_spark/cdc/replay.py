@@ -93,6 +93,21 @@ def stage_batch(events: DataFrame, salted: bool = False, salt_buckets: int = 32)
     return with_content_sha256(dd).drop("ts")
 
 
+def suggest_salt_buckets(
+    events: DataFrame, keys: list[str] = KEY, target_rows_per_task: int = 500_000
+) -> int:
+    """Salt-width heuristic from the key histogram (SURVEY.md §7
+    'salt-width heuristic'): ceil(hottest-key rows / target rows per
+    reduce task), floored at 1 (no salting needed). One cheap
+    aggregation pass over the key columns only."""
+    top = (
+        events.groupBy(*keys).count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    if not top:
+        return 1
+    return max(1, -(-int(top) // target_rows_per_task))
+
+
 def batch_digest(staged: DataFrame, seq_col: str = "seq") -> str:
     """Order-independent digest of a staged batch: bit_xor of per-row
     64-bit hashes (commutative reduction — SURVEY.md hard part #3:

@@ -11,8 +11,10 @@ across engines), and K independent "permutations" come from the i
 prefix. For the scale path the same structure runs on xxhash64
 (cheaper); sha256 is the portable/testable default.
 
-Scale notes: signatures are computed in one projection (transform +
-array_min — no explode; shingle arrays never shuffle). The LSH join
+Scale notes: signatures are computed via explode + map-side-combinable
+min aggregates (see minhash_signature for why the no-explode
+transform-in-array form loses by 100x); the shuffle carries K hashes
+per doc per input partition, never the shingle sets. The LSH join
 shuffles only (band_key, id) pairs; band keys are uniform sha256
 prefixes so the bucket join cannot skew unless true duplicates skew —
 exactly the skew AQE's skew-join handles.
@@ -20,7 +22,7 @@ exactly the skew AQE's skew-join handles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_spark.text.analysis import word_shingles

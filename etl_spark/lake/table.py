@@ -10,8 +10,9 @@ needs:
   mid-write leaves orphan data files and an unchanged CURRENT — readers
   never see a partial commit.
 - **copy-on-write buckets**: rows are hash-bucketed by the merge key
-  (``pmod(xxhash64(*keys), n_buckets)``). A MERGE rewrites only the
-  buckets the staged batch touches; untouched buckets are carried
+  (``pmod(murmur3_hash(*keys), n_buckets)`` — deliberately Spark's own
+  HashPartitioning formula, see _bucket_expr). A MERGE rewrites only
+  the buckets the staged batch touches; untouched buckets are carried
   forward by manifest pointer. At 100 TB / thousands of buckets, a
   batch touching k buckets costs O(k * bucket_size), not O(table).
 - **schema evolution**: add/widen applied transactionally with the
@@ -24,11 +25,14 @@ needs:
 - **time travel**: any previous version remains readable.
 
 Merge conflict resolution is *latest-wins by a sequence column*
-(CDC semantics): union(target, staged) -> max_by(struct(...), seq) per
-key -> drop deletes. ``max_by`` is a declarative aggregate, so Spark
-performs map-side partial aggregation — hot keys reduce locally before
-the shuffle, which is the built-in form of salting (an explicit salted
-two-phase variant lives in etl_spark.cdc.replay for the window path).
+(CDC semantics): union(target, source) -> one repartition on the key
+columns -> window row_number by seq desc -> keep rn=1; deletes stay as
+hidden tombstone rows. The single repartition both clusters keys for
+the window AND places each row in its output bucket, so the whole
+merge moves the payload through exactly one shuffle (see
+_merge_resolve for the measured alternatives). An explicit salted
+two-phase dedup variant lives in etl_spark.cdc.replay for extreme
+hot-key batches.
 """
 
 from __future__ import annotations
@@ -43,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_spark.lake.schema import SchemaEvolutionError, can_widen, evolve
+from etl_spark.lake.schema import SchemaEvolutionError, evolve
 
 _BUCKET = "_b"
 _DELETED = "_deleted"
@@ -540,6 +544,39 @@ class LakeTable:
         new_buckets.update(written)
         m2 = {**m, "version": v, "parent": m["version"], "buckets": new_buckets,
               "committed_at": time.time()}
+        return self._commit(m2)
+
+    # ---------- metadata (the reference's YAML metadata patching,
+    # lib/catalog/owid/catalog/datasets.py:186-204, as table/column
+    # properties committed atomically like any other version) ----------
+
+    @property
+    def properties(self) -> dict:
+        return self.manifest().get("properties", {})
+
+    def set_properties(self, **props) -> int:
+        """Merge table properties in a new atomic version (data files
+        untouched — a metadata-only commit)."""
+        m = self.manifest()
+        m2 = {**m, "version": m["version"] + 1, "parent": m["version"],
+              "properties": {**m.get("properties", {}), **props},
+              "committed_at": time.time(), "note": "set_properties"}
+        return self._commit(m2)
+
+    def column_docs(self) -> dict:
+        return self.manifest().get("column_docs", {})
+
+    def set_column_docs(self, **docs) -> int:
+        """Per-column documentation/metadata (the VariableMeta analog),
+        validated against the current schema."""
+        m = self.manifest()
+        names = {f["name"] for f in m["schemas"][m["current_schema_id"]]["fields"]}
+        unknown = set(docs) - names
+        if unknown:
+            raise ValueError(f"no such columns: {sorted(unknown)}")
+        m2 = {**m, "version": m["version"] + 1, "parent": m["version"],
+              "column_docs": {**m.get("column_docs", {}), **docs},
+              "committed_at": time.time(), "note": "set_column_docs"}
         return self._commit(m2)
 
     # ---------- maintenance ----------

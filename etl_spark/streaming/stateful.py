@@ -16,7 +16,7 @@ use the lake table itself)."""
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 

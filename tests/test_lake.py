@@ -239,3 +239,21 @@ def test_commit_conflict_detected(spark, tmp_path, repos_schema):
     # the real v1 is intact
     assert t.current_version() == 1
     assert t.read().count() == 1
+
+
+def test_properties_and_column_docs(spark, tmp_path, repos_schema):
+    import pytest as _pytest
+
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "pp"), repos_schema, ["repo", "path"],
+                         n_buckets=2, properties={"owner": "ingest"})
+    assert t.properties == {"owner": "ingest"}
+    v = t.set_properties(sla="hourly")
+    assert t.properties == {"owner": "ingest", "sla": "hourly"}
+    t.set_column_docs(content="raw file body at last commit", lang="language tag, nullable")
+    assert "raw file body" in t.column_docs()["content"]
+    with _pytest.raises(ValueError):
+        t.set_column_docs(nope="missing column")
+    # metadata-only commits are versions too (time travel sees old props)
+    assert t.manifest(v - 1).get("properties", {}).get("sla") is None

@@ -117,3 +117,23 @@ def test_slice_reproducibility(spark):
     whole = generate_events(spark, N).filter((F.col("seq") >= 500) & (F.col("seq") < 700))
     part = generate_events(spark, N, start=500, end=700)
     assert whole.toPandas().equals(part.toPandas())
+
+
+def test_suggest_salt_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.replay import suggest_salt_buckets
+
+    uniform = spark.range(1000).select(
+        F.concat(F.lit("r"), (F.col("id") % 100).cast("string")).alias("repo"),
+        F.lit("p").alias("path"),
+    )
+    # hottest key ~10 rows << target -> no salting
+    assert suggest_salt_buckets(uniform, target_rows_per_task=1000) == 1
+    hot = spark.range(10000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("r"), F.col("id").cast("string"))).alias("repo"),
+        F.lit("p").alias("path"),
+    )
+    # hottest key = 5000 rows, target 1000 -> 5 salt buckets
+    assert suggest_salt_buckets(hot, target_rows_per_task=1000) == 5

@@ -1,15 +1,11 @@
 """File sources + spark-submit job entry tests."""
 
-import json
-import os
-
 import pytest
 
 from etl_spark.sources.files import (
     Snapshot,
     SnapshotError,
     file_md5,
-    normalize_columns,
     read_csv,
     read_meta,
     underscore,

@@ -2,7 +2,6 @@
 kill-and-resume, crash-between-merge-and-checkpoint, lineage
 invariants (FIXTURES.md §1.4)."""
 
-import time
 
 import pandas as pd
 import pytest

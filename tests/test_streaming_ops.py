@@ -7,7 +7,6 @@ import glob
 
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from etl_spark.cdc.generator import generate_events, write_event_log
 from etl_spark.sources.wal import EVENT_SCHEMA, read_event_log

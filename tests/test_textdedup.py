@@ -11,7 +11,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_spark.dedup import (
-    cosine_sim,
     embedding_neardup_pairs,
     exact_dedup,
     exact_dup_groups,
