@@ -10,10 +10,11 @@ driver's row-count + schema + value-hash comparison passes exactly.
 Engine-parity rules used throughout:
 - hashes: only sha256/md5 (identical hex in every engine) — never
   xxhash/murmur in compared output;
-- float aggregates: ROUND(, 2..6) on both sides (parallel summation
-  order differs between engines); sequential per-row arithmetic
-  (cosine folds, window running sums) is bit-reproducible and needs
-  only defensive rounding;
+- float aggregates: rounded on both sides with the floor(x*10^n+0.5)
+  formula (see ``_r``), never the engines' ROUND — their tie-break
+  semantics differ at decimal boundaries; sequential per-row
+  arithmetic (cosine folds, window running sums) is bit-reproducible
+  and needs only defensive rounding;
 - ranking: always on the rounded value + an id tie-break.
 """
 
@@ -61,6 +62,20 @@ TABLES = [
 ]
 
 
+def _r(col, n: int):
+    """Cross-engine deterministic rounding: floor(x*10^n + 0.5)/10^n.
+
+    Both Spark and DuckDB evaluate this with identical IEEE double
+    ops, so results match bit-for-bit — unlike ROUND, whose tie-break
+    SEMANTICS differ (Spark rounds the shortest decimal repr HALF_UP,
+    DuckDB rounds the raw binary), which diverges exactly when a
+    ratio of low-decimal inputs lands on a boundary (observed:
+    8.0046875 -> 8.004688 vs 8.004687 at sf0.1)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.floor(col * F.lit(float(10 ** n)) + F.lit(0.5)) / F.lit(float(10 ** n))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -77,7 +92,7 @@ def entry(spark: SparkSession) -> DataFrame:
     latest = dedup_latest(ev, keys=["user_id"], seq_col="event_id")
     return latest.select(
         "user_id", "event_id", "ts", "event_type",
-        F.round("value", 6).alias("value"),
+        _r("value", 6).alias("value"),
         F.sha2(F.col("props"), 256).alias("props_sha256"),
     )
 
@@ -90,19 +105,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def q_cdc_latest_wins(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return dedup_latest(ev, keys=["user_id"], seq_col="event_id").select(
-        "user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value"), "props"
+        "user_id", "event_id", "ts", "event_type", _r("value", 6).alias("value"), "props"
     )
 
 
 def q_cdc_latest_wins_salted(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return dedup_latest_salted(ev, keys=["user_id"], seq_col="event_id", salt_buckets=16).select(
-        "user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value"), "props"
+        "user_id", "event_id", "ts", "event_type", _r("value", 6).alias("value"), "props"
     )
 
 
 _SQL_LATEST = """
-SELECT user_id, event_id, ts, event_type, ROUND(value, 6) AS value, props
+SELECT user_id, event_id, ts, event_type, FLOOR((value) * 1e6 + 0.5) / 1e6 AS value, props
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
   FROM events
@@ -161,10 +176,10 @@ def q_pricing_summary(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            _r(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -178,7 +193,7 @@ def q_top_unshipped(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -198,7 +213,7 @@ def q_region_revenue(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
 
@@ -212,14 +227,14 @@ def q_groupby_nan_budget(spark, sf_dir):
     out = groupby_agg(
         ev, ["user_id"], {"value_n": "sum"}, num_allowed_nans=None, frac_allowed_nans=0.3
     )
-    return out.select("user_id", F.round("value_n", 6).alias("value_sum"))
+    return out.select("user_id", _r("value_n", 6).alias("value_sum"))
 
 
 _SQL_NAN_BUDGET = """
 SELECT user_id,
        CASE WHEN COUNT(*) FILTER (WHERE value < 25) * 1.0 / COUNT(*) > 0.3
             THEN NULL
-            ELSE ROUND(SUM(CASE WHEN value >= 25 THEN value END), 6) END AS value_sum
+            ELSE FLOOR((SUM(CASE WHEN value >= 25 THEN value END)) * 1e6 + 0.5) / 1e6 END AS value_sum
 FROM events GROUP BY user_id
 """
 
@@ -256,7 +271,7 @@ def q_multi_merge_nation(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     a = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"),
-                                     F.round(F.sum("c_acctbal"), 2).alias("cust_acctbal"))
+                                     _r(F.sum("c_acctbal"), 2).alias("cust_acctbal"))
     b = s.groupBy(F.col("s_nationkey").alias("c_nationkey")).agg(F.count(F.lit(1)).alias("n_suppliers"))
     n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
     out = multi_merge([n, a, b], on=["c_nationkey"], how="left")
@@ -279,7 +294,7 @@ def q_region_mandatory_agg(spark, sf_dir):
         cn, m2r, member_col="n_name", region_col="r_name",
         value_aggs={"c_acctbal": "sum"}, mandatory=mandatory,
     )
-    return out.select("r_name", F.round("c_acctbal", 2).alias("acctbal_sum"))
+    return out.select("r_name", _r("c_acctbal", 2).alias("acctbal_sum"))
 
 
 # ---------------------------------------------------------------------------
@@ -291,14 +306,14 @@ def q_pct_change(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = pct_change(ev, ["user_id"], "event_id", "value", target="pct")
     return out.filter(F.col("pct").isNotNull()).select(
-        "user_id", "event_id", F.round("pct", 6).alias("pct")
+        "user_id", "event_id", _r("pct", 6).alias("pct")
     )
 
 
 def q_cumsum(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = cumsum(ev, ["user_id"], "event_id", "value", target="running_value")
-    return out.select("user_id", "event_id", F.round("running_value", 6).alias("running_value"))
+    return out.select("user_id", "event_id", _r("running_value", 6).alias("running_value"))
 
 
 def q_rolling_avg(spark, sf_dir):
@@ -307,14 +322,14 @@ def q_rolling_avg(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = rolling(ev, ["user_id"], "event_id", "value", window=7, agg="mean", target="roll")
     return out.filter(F.col("roll").isNotNull()).select(
-        "user_id", "event_id", F.round("roll", 6).alias("roll_avg")
+        "user_id", "event_id", _r("roll", 6).alias("roll_avg")
     )
 
 
 def q_topk_per_user(spark, sf_dir):
     """Top-3 events by value per user (deterministic: rounded value +
     event_id tie-break) — the generic grouped top-k."""
-    ev = _t(spark, sf_dir, "events").withColumn("v", F.round("value", 6))
+    ev = _t(spark, sf_dir, "events").withColumn("v", _r("value", 6))
     w = Window.partitionBy("user_id").orderBy(F.desc("v"), F.asc("event_id"))
     return (
         ev.withColumn("rank", F.row_number().over(w))
@@ -335,10 +350,10 @@ def q_interpolate_daily(spark, sf_dir):
             "value",
         )
         .groupBy("user_id", "day")
-        .agg(F.round(F.sum("value"), 6).alias("value"))
+        .agg(_r(F.sum("value"), 6).alias("value"))
     )
     out = interpolate_linear(obs, ["user_id"], "day", "value", step=1)
-    return out.select("user_id", "day", F.round("value", 6).alias("value"))
+    return out.select("user_id", "day", _r("value", 6).alias("value"))
 
 
 def q_hourly_rollup(spark, sf_dir):
@@ -349,7 +364,7 @@ def q_hourly_rollup(spark, sf_dir):
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            _r(F.sum("value"), 4).alias("value_sum"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -516,12 +531,12 @@ WITH base AS (
 SELECT doc_id,
        n_chars::BIGINT AS n_chars,
        n_tokens::BIGINT AS n_tokens,
-       ROUND(n_chars / GREATEST(n_tokens, 1), 6) AS mean_token_len,
-       ROUND(punct_n / GREATEST(n_chars, 1), 6) AS punct_ratio,
-       ROUND(stop_n / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
-       (n_tokens >= 10 AND ROUND(n_chars / GREATEST(n_tokens, 1), 6) >= 2
-        AND ROUND(n_chars / GREATEST(n_tokens, 1), 6) <= 15
-        AND ROUND(stop_n / GREATEST(n_tokens, 1), 6) > 0) AS quality_keep
+       FLOOR((n_chars / GREATEST(n_tokens, 1)) * 1e6 + 0.5) / 1e6 AS mean_token_len,
+       FLOOR((punct_n / GREATEST(n_chars, 1)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+       FLOOR((stop_n / GREATEST(n_tokens, 1)) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+       (n_tokens >= 10 AND FLOOR((n_chars / GREATEST(n_tokens, 1)) * 1e6 + 0.5) / 1e6 >= 2
+        AND FLOOR((n_chars / GREATEST(n_tokens, 1)) * 1e6 + 0.5) / 1e6 <= 15
+        AND FLOOR((stop_n / GREATEST(n_tokens, 1)) * 1e6 + 0.5) / 1e6 > 0) AS quality_keep
 FROM base
 """
 
@@ -592,10 +607,9 @@ sh AS (
 ),
 pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents)
 SELECT p.id_a, p.id_b,
-       ROUND(
-         CASE WHEN ARRAY_LENGTH(LIST_DISTINCT(a.sh || b.sh)) = 0 THEN 0.0
+       FLOOR((CASE WHEN ARRAY_LENGTH(LIST_DISTINCT(a.sh || b.sh)) = 0 THEN 0.0
               ELSE ARRAY_LENGTH(LIST_INTERSECT(LIST_DISTINCT(a.sh), LIST_DISTINCT(b.sh)))
-                   / ARRAY_LENGTH(LIST_DISTINCT(a.sh || b.sh)) END, 6) AS jaccard
+                   / ARRAY_LENGTH(LIST_DISTINCT(a.sh || b.sh)) END) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM pairs p
 JOIN sh a ON a.doc_id = p.id_a
 JOIN sh b ON b.doc_id = p.id_b
@@ -619,11 +633,11 @@ def _sql_embed_pairs() -> str:
     cos = _sql_cos("a.embedding", "b.embedding")
     return f"""
 WITH pairs AS (SELECT vec_id AS id_a, vec_id + 1 AS id_b FROM embeddings)
-SELECT p.id_a, p.id_b, ROUND({cos}, 6) AS cosine
+SELECT p.id_a, p.id_b, FLOOR(({cos}) * 1e6 + 0.5) / 1e6 AS cosine
 FROM pairs p
 JOIN embeddings a ON a.vec_id = p.id_a
 JOIN embeddings b ON b.vec_id = p.id_b
-WHERE ROUND({cos}, 6) >= -2.0
+WHERE FLOOR(({cos}) * 1e6 + 0.5) / 1e6 >= -2.0
 """
 
 
@@ -631,7 +645,7 @@ def _sql_ann_topk() -> str:
     cos = _sql_cos("q.embedding", "c.embedding")
     return f"""
 WITH scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ROUND({cos}, 6) AS cosine
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, FLOOR(({cos}) * 1e6 + 0.5) / 1e6 AS cosine
   FROM embeddings q CROSS JOIN embeddings c
   WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
 ),
@@ -648,7 +662,7 @@ def _sql_interpolate_daily() -> str:
 WITH obs AS (
   SELECT user_id,
          DATE_DIFF('day', DATE '1970-01-01', ts::DATE)::INT AS day,
-         ROUND(SUM(value), 6) AS y
+         FLOOR((SUM(value)) * 1e6 + 0.5) / 1e6 AS y
   FROM events GROUP BY 1, 2
 ),
 grid AS (
@@ -672,10 +686,10 @@ w AS (
   FROM g
 )
 SELECT user_id, day,
-       ROUND(CASE WHEN y IS NOT NULL THEN y
+       FLOOR((CASE WHEN y IS NOT NULL THEN y
                   WHEN py IS NULL THEN ny
                   WHEN ny IS NULL THEN py
-                  ELSE py + (day::DOUBLE - px) / (nx - px) * (ny - py) END, 6) AS value
+                  ELSE py + (day::DOUBLE - px) / (nx - px) * (ny - py) END) * 1e6 + 0.5) / 1e6 AS value
 FROM w
 """
 
@@ -741,17 +755,17 @@ FROM documents GROUP BY source
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       FLOOR((SUM(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+       FLOOR((SUM(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+       FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+       FLOOR((AVG(l_quantity)) * 1e6 + 0.5) / 1e6 AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 """,
         "top_unshipped": """
 SELECT l_orderkey, o_orderdate,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -763,7 +777,7 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """,
         "region_revenue": """
-SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT r_name, FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -787,7 +801,7 @@ FROM orders
         "multi_merge_nation": """
 SELECT n_nationkey AS nationkey, n_name, a.n_customers, a.cust_acctbal, b.n_suppliers
 FROM nation
-LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS cust_acctbal
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_customers, FLOOR((SUM(c_acctbal)) * 1e2 + 0.5) / 1e2 AS cust_acctbal
            FROM customer GROUP BY 1) a ON a.c_nationkey = n_nationkey
 LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) b
        ON b.s_nationkey = n_nationkey
@@ -808,26 +822,26 @@ mand_totals AS (
 )
 SELECT cn.r_name,
        CASE WHEN COUNT(DISTINCT CASE WHEN mand THEN n_name END) >= COALESCE(MAX(n_mand), 0)
-            THEN ROUND(SUM(c_acctbal), 2) END AS acctbal_sum
+            THEN FLOOR((SUM(c_acctbal)) * 1e2 + 0.5) / 1e2 END AS acctbal_sum
 FROM cn LEFT JOIN mand_totals USING (r_name)
 GROUP BY cn.r_name
 """,
         "pct_change": """
-SELECT user_id, event_id, ROUND((value - pv) / pv, 6) AS pct
+SELECT user_id, event_id, FLOOR(((value - pv) / pv) * 1e6 + 0.5) / 1e6 AS pct
 FROM (
   SELECT user_id, event_id, value,
          LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
   FROM events
-) t WHERE pv IS NOT NULL
+) t WHERE pv IS NOT NULL AND pv <> 0
 """,
         "cumsum": """
 SELECT user_id, event_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+       FLOOR((SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6 AS running_value
 FROM events
 """,
         "rolling_avg": """
-SELECT user_id, event_id, ROUND(ra, 6) AS roll_avg
+SELECT user_id, event_id, FLOOR((ra) * 1e6 + 0.5) / 1e6 AS roll_avg
 FROM (
   SELECT user_id, event_id,
          AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
@@ -840,8 +854,8 @@ FROM (
         "topk_per_user": """
 SELECT user_id, event_id, v AS value, rank
 FROM (
-  SELECT user_id, event_id, ROUND(value, 6) AS v,
-         row_number() OVER (PARTITION BY user_id ORDER BY ROUND(value, 6) DESC, event_id ASC) AS rank
+  SELECT user_id, event_id, FLOOR((value) * 1e6 + 0.5) / 1e6 AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY FLOOR((value) * 1e6 + 0.5) / 1e6 DESC, event_id ASC) AS rank
   FROM events
 ) t WHERE rank <= 3
 """,
@@ -849,7 +863,7 @@ FROM (
         "hourly_rollup": """
 SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS value_sum,
+       FLOOR((SUM(value)) * 1e4 + 0.5) / 1e4 AS value_sum,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """,

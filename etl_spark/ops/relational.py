@@ -177,7 +177,11 @@ def pct_change(
     (v - lag(v)) / lag(v) per group in order."""
     w = Window.partitionBy(*group_cols).orderBy(order_col)
     prev = F.lag(F.col(value_col)).over(w)
-    return df.withColumn(target, (F.col(value_col) - prev) / prev)
+    # NULL (not error/inf) when the base is 0 — ANSI mode raises on
+    # division by zero even for doubles
+    return df.withColumn(
+        target, F.when(prev != 0, (F.col(value_col) - prev) / prev)
+    )
 
 
 def cumsum(
