@@ -1,0 +1,109 @@
+"""Incremental DAG tests — the reference's dirty-detection contract
+(etl/steps/__init__.py:419-466; tests/test_steps.py:56-131):
+topological order, skip-clean, dirty-propagation on code/version/data
+change, exactly-once rerun after mid-step failure."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.dag import Pipeline, Step
+
+
+def build(spark, root, bump="1", fail_garden=False):
+    p = Pipeline(spark, str(root))
+
+    @p.step("meadow", version="1", keys=["k"])
+    def meadow(s, load):
+        return s.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+    @p.step("garden", deps=["meadow"], version=bump, keys=["k"])
+    def garden(s, load):
+        if fail_garden:
+            raise RuntimeError("boom")
+        return load("meadow").withColumn("v", F.col("v") + 1)
+
+    @p.step("grapher", deps=["garden"], version="1", keys=["k"])
+    def grapher(s, load):
+        return load("garden").filter(F.col("v") % 2 == 1)
+
+    return p
+
+
+def test_first_run_runs_all_then_skips(spark, tmp_path):
+    p = build(spark, tmp_path)
+    assert p.run() == {"meadow": "ran", "garden": "ran", "grapher": "ran"}
+    # clean rerun is a complete no-op
+    assert p.run() == {"meadow": "skipped", "garden": "skipped", "grapher": "skipped"}
+    assert p.load("grapher").count() == 10
+
+
+def test_version_bump_with_early_cutoff(spark, tmp_path):
+    """A version bump reruns the step itself; dependents rerun ONLY if
+    the output content actually changed (early cutoff — stronger than
+    the reference, whose input-checksum chaining reruns the whole
+    downstream subgraph even for byte-identical outputs)."""
+    p = build(spark, tmp_path)
+    p.run()
+    p2 = build(spark, tmp_path, bump="2")
+    assert p2.run() == {"meadow": "skipped", "garden": "ran", "grapher": "skipped"}
+
+    # now a change that DOES alter garden's output -> grapher reruns
+    p3 = build_changed_garden(spark, tmp_path)
+    assert p3.run() == {"meadow": "skipped", "garden": "ran", "grapher": "ran"}
+
+
+def build_changed_garden(spark, root):
+    """Same meadow/grapher SOURCE TEXT as build() (code checksums match
+    -> clean); garden computes different values."""
+    p = Pipeline(spark, str(root))
+
+    @p.step("meadow", version="1", keys=["k"])
+    def meadow(s, load):
+        return s.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+    @p.step("garden", deps=["meadow"], version="3", keys=["k"])
+    def garden(s, load):
+        return load("meadow").withColumn("v", F.col("v") + 2)
+
+    @p.step("grapher", deps=["garden"], version="1", keys=["k"])
+    def grapher(s, load):
+        return load("garden").filter(F.col("v") % 2 == 1)
+
+    return p
+
+
+def test_output_checksum_stable_under_copy(spark, tmp_path):
+    """Re-running a step that produces identical data leaves
+    dependents clean (checksum is content-based, not run-based)."""
+    p = build(spark, tmp_path)
+    p.run()
+    before = p.output_checksum("meadow")
+    p.run(force=True, only=["meadow"])
+    assert p.output_checksum("meadow") == before
+    # dependents stay clean because the OUTPUT checksum didn't change
+    assert p.run() == {"meadow": "skipped", "garden": "skipped", "grapher": "skipped"}
+
+
+def test_failure_leaves_step_dirty(spark, tmp_path):
+    p = build(spark, tmp_path)
+    p.run(only=["meadow"])
+    bad = build(spark, tmp_path, fail_garden=True)
+    with pytest.raises(RuntimeError):
+        bad.run()
+    # garden never committed its checksum -> still dirty -> reruns
+    good = build(spark, tmp_path)
+    out = good.run()
+    assert out["garden"] == "ran" and out["meadow"] == "skipped"
+
+
+def test_only_selection_pulls_transitive_deps(spark, tmp_path):
+    p = build(spark, tmp_path)
+    out = p.run(only=["garden"])
+    assert set(out) == {"meadow", "garden"}
+
+
+def test_add_step_object(spark, tmp_path):
+    p = Pipeline(spark, str(tmp_path))
+    p.add(Step("a", lambda s, load: s.range(3).select(F.col("id").alias("k")), keys=["k"]))
+    assert p.run() == {"a": "ran"}
+    assert p.load("a").count() == 3
