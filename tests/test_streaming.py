@@ -126,3 +126,42 @@ def test_lineage_digest_partition_order_independent(spark, wal):
     l1 = lineage_rows(b.repartition(3), 0, n_ranges=4).orderBy("seq_min").toPandas()
     l2 = lineage_rows(b.repartition(11), 0, n_ranges=4).orderBy("seq_min").toPandas()
     assert list(l1["sha256_digest"]) == list(l2["sha256_digest"])
+
+
+def test_stream_replay_with_schema_evolution(spark, repos_schema, tmp_path):
+    """Evolving WAL (add columns at seq>=4000, widen at seq>=5000)
+    replayed through the STREAMING driver with the widest declared
+    schema: final state matches the oracle including the evolved
+    columns (early rows NULL, later rows populated)."""
+    from etl_spark.sources.wal import EVENT_SCHEMA_EVOLVED
+
+    wal = str(tmp_path / "wal_evo")
+    write_event_log(spark, wal, N, files=6, evolve_add=4000, evolve_widen=5000)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t_evo"), repos_schema, ["repo", "path"], n_buckets=8,
+        derived={"content_sha256": ("sha256", "content")},
+    )
+    stream = CdcStream(tbl, str(tmp_path / "chk_evo"))
+    stream.run_to_completion(spark, wal, schema=EVENT_SCHEMA_EVOLVED)
+
+    full = generate_events(spark, N, evolve_add=4000, evolve_widen=5000).toPandas()
+    exp = (
+        full.sort_values("seq").drop_duplicates(["repo", "path"], keep="last")
+        .query("op != 'delete'")
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    got = (
+        tbl.read().orderBy("repo", "path").toPandas().reset_index(drop=True)
+    )
+    assert "lang_version" in got.columns and "size" in got.columns
+    pd.testing.assert_frame_equal(
+        got[["repo", "path", "commit", "lang", "content", "lang_version", "size"]],
+        exp[["repo", "path", "commit", "lang", "content", "lang_version", "size"]],
+        check_dtype=False,
+    )
+    # winners past the evolution epoch carry values; earlier-only keys are NULL
+    assert got.loc[got["last_seq"] >= 4000, "lang_version"].notna().any()
+    import hashlib as _h
+    sample = got.dropna(subset=["content"]).head(20)
+    for _, r in sample.iterrows():
+        assert r["content_sha256"] == _h.sha256(r["content"].encode()).hexdigest()
