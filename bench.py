@@ -125,7 +125,7 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
-def _mk_table(spark, root: str, name: str):
+def _mk_table(spark, root: str, name: str, write_mode: str = "cow"):
     from pyspark.sql import types as T
 
     from etl_spark.lake.table import LakeTable
@@ -136,8 +136,32 @@ def _mk_table(spark, root: str, name: str):
     )
     return LakeTable.create(
         spark, os.path.join(root, name), schema, ["repo", "path"], n_buckets=64,
-        derived={"content_sha256": ("sha256", "content")},
+        derived={"content_sha256": ("sha256", "content")}, write_mode=write_mode,
     )
+
+
+def mor_ingest_bench(spark, root: str, n_events: int, batches: int = 8) -> dict:
+    """Merge-on-read ingest (O(batch), target never read) vs COW in
+    the many-small-batches regime, plus the compaction cost."""
+    from etl_spark.cdc.generator import generate_events
+    from etl_spark.cdc import replay as R
+
+    out = {}
+    for mode in ("cow", "mor"):
+        tbl = _mk_table(spark, root, f"morb_{mode}", write_mode=mode)
+        step = n_events // batches
+        t0 = time.time()
+        for i in range(batches):
+            ev = generate_events(spark, n_events, start=i * step,
+                                 end=(i + 1) * step, partitions=64)
+            R.apply_batch(tbl, ev, epoch=i)
+        out[f"{mode}_ingest_sec"] = round(time.time() - t0, 2)
+        out[f"{mode}_events_per_sec"] = round(n_events / out[f"{mode}_ingest_sec"])
+        if mode == "mor":
+            t0 = time.time()
+            tbl.compact()
+            out["mor_compact_sec"] = round(time.time() - t0, 2)
+    return out
 
 
 def cdc_replay(spark, root: str, name: str, n_events: int, batches: int = 4) -> float:
@@ -186,6 +210,8 @@ def main() -> None:
         dt = cdc_replay(spark, root, "peak", CDC_EVENTS, batches=1)
         times[CPUS].append(dt)
         print(f"  peak local[{CPUS}]: {dt:.1f}s ({CDC_EVENTS/dt:.0f} ev/s)", file=sys.stderr)
+        mor = mor_ingest_bench(spark, root, CDC_EVENTS, batches=8)
+        print(f"  mor-vs-cow (8 batches): {mor}", file=sys.stderr)
 
         # adaptive trials: best-of per level only improves with more
         # samples, so keep sampling (interleaved) until the efficiency
@@ -234,6 +260,7 @@ def main() -> None:
         f"events_per_sec_local{SCALE_HIGH}": round(eps_hi),
         "core_ratio": 4,
         "scaling_efficiency": round((eps_hi / eps_lo) / 4, 3),
+        "mor_vs_cow": mor,
     }
     result["metric"] = "headline suite total + CDC replay sec"
     result["value"] = round(queries_total + min(times[CPUS]), 2)

@@ -151,6 +151,7 @@ class LakeTable:
         n_buckets: int = 16,
         properties: dict | None = None,
         derived: dict[str, tuple[str, str]] | None = None,
+        write_mode: str = "cow",
     ) -> "LakeTable":
         """``derived`` declares engine-maintained columns computed on
         merge winners, e.g. {"content_sha256": ("sha256", "content")}.
@@ -158,7 +159,13 @@ class LakeTable:
         target and resolve in one max_by aggregation, and the checksum
         is computed only for rows that actually win — not for every
         staged event (at 4 events/key that's 4x fewer hashes and one
-        fewer full-payload shuffle than stage-then-merge)."""
+        fewer full-payload shuffle than stage-then-merge).
+
+        ``write_mode``: "cow" (default) resolves each merge into the
+        base immediately; "mor" appends batch deltas (O(batch) ingest)
+        and resolves at read time — compact() folds them down."""
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
         t = cls(spark, root)
         os.makedirs(t._meta_dir, exist_ok=True)
         if seq_col not in schema.names:
@@ -181,6 +188,8 @@ class LakeTable:
             "epochs": {},
             "properties": properties or {},
             "derived": {k: list(v) for k, v in (derived or {}).items()},
+            "write_mode": write_mode,
+            "deltas": [],
             "committed_at": time.time(),
         }
         _atomic_write(os.path.join(t._meta_dir, "v0.json"), json.dumps(m))
@@ -209,7 +218,11 @@ class LakeTable:
         """Snapshot read. Files written under older schema ids are read
         with their own schema, upcast by name, then unioned — missing
         columns become NULL, widened columns are cast up. Tombstone
-        rows (retained deletes) are filtered unless asked for."""
+        rows (retained deletes) are filtered unless asked for.
+
+        In merge-on-read mode, delta files are unioned with the base
+        and resolved (latest seq per key wins) at read time — the
+        ingest-side cost COW pays per batch, moved to the read side."""
         m = self.manifest(version)
         cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
         by_sid: dict[int, list[str]] = {}
@@ -217,6 +230,12 @@ class LakeTable:
             if buckets is not None and int(b) not in buckets:
                 continue
             by_sid.setdefault(ent["sid"], []).append(ent["path"])
+        deltas = m.get("deltas", [])
+        for d in deltas:
+            for b, ent in d["buckets"].items():
+                if buckets is not None and int(b) not in buckets:
+                    continue
+                by_sid.setdefault(d["sid"], []).append(ent["path"])
         if not by_sid:
             out = self.spark.createDataFrame([], cur)
         else:
@@ -233,9 +252,22 @@ class LakeTable:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+        if deltas:
+            out = self._resolve_latest(out, m["seq_col"], m["key_cols"])
         if not include_tombstones and _DELETED in out.columns:
             out = out.filter(~F.coalesce(F.col(_DELETED), F.lit(False))).drop(_DELETED)
         return out
+
+    @staticmethod
+    def _resolve_latest(df: DataFrame, seq_col: str, key_cols: list[str]) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     # ---------- schema DDL ----------
 
@@ -406,7 +438,74 @@ class LakeTable:
         # the key columns only (a cheap scan), while caching the full
         # payload (content strings) measurably thrashes the heap.
         src = src.select(*aligned).withColumn(_BUCKET, self._bucket_expr(self.key_cols))
+        if m.get("write_mode", "cow") == "mor":
+            return self._merge_mor(m, src, new_schema, schemas, sid, epoch, extra_manifest)
         return self._merge_resolve(m, src, new_schema, schemas, sid, epoch, extra_manifest)
+
+    def _merge_mor(self, m, src, new_schema, schemas, sid, epoch, extra_manifest) -> dict:
+        """Merge-on-read ingest: dedup the batch (one shuffle), apply
+        derived columns to batch winners, append the result as a
+        bucket-partitioned DELTA — the target is never read, so a
+        batch costs O(batch), not O(table). Readers resolve
+        base+deltas by seq; ``compact()`` folds deltas into the base."""
+        seq = self.seq_col
+        kept = self._resolve_latest(
+            src.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols]),
+            seq, self.key_cols,
+        )
+        live = ~F.coalesce(F.col(_DELETED), F.lit(False))
+        for dst, (fn, srccol) in m.get("derived", {}).items():
+            if fn != "sha256":
+                raise ValueError(f"unknown derived fn: {fn}")
+            if dst in kept.columns and srccol in kept.columns:
+                kept = kept.withColumn(
+                    dst,
+                    F.when(live & F.col(dst).isNull() & F.col(srccol).isNotNull(),
+                           F.sha2(F.col(srccol), 256)).otherwise(F.col(dst)),
+                )
+        v = m["version"] + 1
+        delta_dir = os.path.join(self.root, "delta", f"v{v}")
+        ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in new_schema.fields]
+        kept.select(F.col(_BUCKET), *ordered).write.partitionBy(_BUCKET).mode(
+            "overwrite"
+        ).parquet(delta_dir)
+        out = {}
+        for d in os.listdir(delta_dir):
+            if d.startswith(f"{_BUCKET}="):
+                out[d.split("=")[1]] = {"path": os.path.join(delta_dir, d)}
+        m2 = {
+            **m,
+            "version": v,
+            "parent": m["version"],
+            "schemas": schemas,
+            "current_schema_id": sid,
+            "deltas": [*m.get("deltas", []), {"sid": sid, "buckets": out}],
+            "epochs": {**m.get("epochs", {}), **({str(epoch): v} if epoch is not None else {})},
+            "committed_at": time.time(),
+            **(extra_manifest or {}),
+        }
+        self._commit(m2)
+        return {"version": v, "epoch": epoch, "skipped": False,
+                "mode": "mor", "delta_buckets": sorted(int(b) for b in out)}
+
+    def compact(self) -> int:
+        """Fold all deltas into a new base (the deferred COW merge):
+        one resolve over base+deltas, bucket-aligned write, deltas
+        cleared. Readers before/after see identical data."""
+        m = self.manifest()
+        if not m.get("deltas"):
+            return m["version"]
+        resolved = self.read(include_tombstones=True).withColumn(
+            _BUCKET, self._bucket_expr(self.key_cols)
+        )
+        v = m["version"] + 1
+        schema = self.schema()
+        written = self._write_buckets(resolved, v, schema)
+        for ent in written.values():
+            ent["sid"] = m["current_schema_id"]
+        m2 = {**m, "version": v, "parent": m["version"], "buckets": written,
+              "deltas": [], "committed_at": time.time(), "note": "compact"}
+        return self._commit(m2)
 
     def _merge_resolve(self, m, src, new_schema, schemas, sid, epoch, extra_manifest) -> dict:
         seq = self.seq_col
@@ -520,6 +619,8 @@ class LakeTable:
 
     def delete_where(self, condition) -> int:
         """DELETE FROM ... WHERE — rewrite of affected buckets only."""
+        if self.manifest().get("deltas"):
+            self.compact()  # bucket-level rewrite needs a delta-free base
         df = self.read()
         matched = df.filter(condition)
         dirty = {
@@ -586,6 +687,8 @@ class LakeTable:
         scale knob as a table grows (more buckets => smaller COW
         rewrite units and more write parallelism). One full rewrite;
         readers see old or new layout, never a mix (manifest flip)."""
+        if self.manifest().get("deltas"):
+            self.compact()  # fold deltas before changing the layout
         m = self.manifest()
         schema = self.schema()
         df = self.read(include_tombstones=True)
@@ -628,6 +731,8 @@ class LakeTable:
         streaming checkpoint has passed it), they are dead weight and
         compaction may remove them. Rewrites only buckets that hold
         purgeable tombstones."""
+        if self.manifest().get("deltas"):
+            self.compact()  # bucket-level rewrite needs a delta-free base
         seq = self.seq_col
         full = self.read(include_tombstones=True)
         purgeable = full.filter(

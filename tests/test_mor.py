@@ -1,0 +1,93 @@
+"""Merge-on-read mode: O(batch) ingest, read-time resolution,
+compaction equivalence."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc import replay as R
+from etl_spark.cdc.generator import generate_events, oracle_final_state
+from etl_spark.lake.table import LakeTable
+
+N = 6000
+COLS = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+
+
+@pytest.fixture(scope="module")
+def oracle(spark):
+    return oracle_final_state(generate_events(spark, N).toPandas())[COLS].reset_index(drop=True)
+
+
+def _mor_table(spark, path):
+    from tests.conftest import REPOS_SCHEMA
+
+    return LakeTable.create(
+        spark, str(path), REPOS_SCHEMA, ["repo", "path"], n_buckets=8,
+        derived={"content_sha256": ("sha256", "content")}, write_mode="mor",
+    )
+
+
+def _final(tbl):
+    return tbl.read().select(*COLS).orderBy("repo", "path").toPandas().reset_index(drop=True)
+
+
+def test_mor_replay_matches_oracle(spark, oracle, tmp_path):
+    tbl = _mor_table(spark, tmp_path / "t")
+    for i, lo in enumerate(range(0, N, 1500)):
+        ev = generate_events(spark, N, start=lo, end=min(lo + 1500, N))
+        st = R.apply_batch(tbl, ev, epoch=i)
+        assert st.get("mode") == "mor"
+    assert tbl.manifest()["deltas"]  # base never rewritten during ingest
+    assert tbl.manifest()["buckets"] == {}
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_mor_compact_preserves_state(spark, oracle, tmp_path):
+    tbl = _mor_table(spark, tmp_path / "t")
+    for i, lo in enumerate(range(0, N, 2000)):
+        R.apply_batch(tbl, generate_events(spark, N, start=lo, end=min(lo + 2000, N)), epoch=i)
+    before = _final(tbl)
+    v = tbl.compact()
+    assert tbl.manifest()["deltas"] == []
+    assert tbl.manifest()["buckets"]  # now materialized as base
+    pd.testing.assert_frame_equal(_final(tbl), before)
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+    # ingest continues after compaction; fence still holds
+    st = R.apply_batch(tbl, generate_events(spark, N, start=0, end=100), epoch=0)
+    assert st.get("skipped")
+    # second compact is a no-op version-wise
+    assert tbl.compact() == tbl.current_version()
+
+
+def test_mor_out_of_order_batches(spark, oracle, tmp_path):
+    """Deltas appended in reverse seq order still resolve correctly —
+    read-time resolution is order-blind by construction."""
+    tbl = _mor_table(spark, tmp_path / "t")
+    bounds = list(range(0, N, 1500))
+    for i, lo in enumerate(reversed(bounds)):
+        R.apply_batch(tbl, generate_events(spark, N, start=lo, end=min(lo + 1500, N)), epoch=i)
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_mor_delete_where_compacts_first(spark, tmp_path):
+    tbl = _mor_table(spark, tmp_path / "t")
+    R.apply_batch(tbl, generate_events(spark, 2000), epoch=0)
+    n = tbl.read().count()
+    tbl.delete_where(F.col("lang") == "python")
+    assert tbl.manifest()["deltas"] == []
+    kept = tbl.read()
+    assert kept.filter(F.col("lang") == "python").count() == 0
+    assert 0 < kept.count() < n
+
+
+def test_mor_schema_evolution_in_deltas(spark, tmp_path):
+    tbl = _mor_table(spark, tmp_path / "t")
+    ev1 = generate_events(spark, 3000, start=0, end=1500)
+    R.apply_batch(tbl, ev1, epoch=0)
+    ev2 = generate_events(spark, 3000, start=1500, end=3000, evolve_add=0)
+    R.apply_batch(tbl, ev2, epoch=1)
+    out = tbl.read()
+    assert "lang_version" in out.columns and "size" in out.columns
+    # pre-evolution winners are NULL in the added columns
+    assert out.filter(F.col("last_seq") < 1500).filter(F.col("lang_version").isNotNull()).count() == 0
+    assert out.filter(F.col("lang_version").isNotNull()).count() > 0
