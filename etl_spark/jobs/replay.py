@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream mode: tail forever instead of drain-and-stop")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
+                   help="cow: resolve into base per batch; mor: O(batch) delta "
+                        "appends + read-time resolution (run --compact to fold)")
+    p.add_argument("--compact", action="store_true",
+                   help="compact merge-on-read deltas after the run")
     p.add_argument("--key-cols", default="repo,path")
     p.add_argument("--seq-col", default="seq")
     p.add_argument("--checksum-col", default="content_sha256",
@@ -74,7 +79,7 @@ def ensure_table(spark, args):
     )
     return LakeTable.create(
         spark, args.table, T.StructType(user_fields), keys,
-        n_buckets=args.n_buckets, derived=derived,
+        n_buckets=args.n_buckets, derived=derived, write_mode=args.write_mode,
     )
 
 
@@ -115,6 +120,9 @@ def main(argv=None) -> int:
         for ep, (files, sch) in enumerate(wal_schema_phases(args.wal)):
             batch = spark.read.schema(sch).parquet(*files)
             R.apply_batch(table, batch, epoch=ep, salted=args.salted)
+
+    if args.compact:
+        table.compact()
 
     dt = time.time() - t0
     epochs_after = table.committed_epochs()

@@ -765,21 +765,26 @@ class LakeTable:
         return self._commit(m2)
 
     def expire_versions(self, keep_last: int = 2) -> None:
-        """Drop data dirs only referenced by expired manifests."""
+        """Drop data/delta dirs only referenced by expired manifests."""
         cur = self.current_version()
         live: set[str] = set()
         for v in range(max(0, cur - keep_last + 1), cur + 1):
             try:
-                for ent in self.manifest(v)["buckets"].values():
-                    live.add(os.path.dirname(ent["path"]))
+                m = self.manifest(v)
             except FileNotFoundError:
-                pass
-        data_root = os.path.join(self.root, "data")
-        if os.path.isdir(data_root):
-            for d in os.listdir(data_root):
-                full = os.path.join(data_root, d)
-                if full not in live:
-                    shutil.rmtree(full, ignore_errors=True)
+                continue
+            for ent in m["buckets"].values():
+                live.add(os.path.dirname(ent["path"]))
+            for d in m.get("deltas", []):
+                for ent in d["buckets"].values():
+                    live.add(os.path.dirname(ent["path"]))
+        for sub in ("data", "delta"):
+            root = os.path.join(self.root, sub)
+            if os.path.isdir(root):
+                for d in os.listdir(root):
+                    full = os.path.join(root, d)
+                    if full not in live:
+                        shutil.rmtree(full, ignore_errors=True)
 
 
 class LakeCatalog:
