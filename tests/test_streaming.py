@@ -165,3 +165,45 @@ def test_stream_replay_with_schema_evolution(spark, repos_schema, tmp_path):
     sample = got.dropna(subset=["content"]).head(20)
     for _, r in sample.iterrows():
         assert r["content_sha256"] == _h.sha256(r["content"].encode()).hexdigest()
+
+
+def test_continuous_tail_picks_up_new_files(spark, repos_schema, tmp_path):
+    """Live tailing (the reference's --watch mode,
+    etl/command.py:137-138): a continuously running stream applies WAL
+    files that appear AFTER the query started."""
+    import time as _time
+
+    wal = str(tmp_path / "wal_live")
+    # slices of ONE 3000-event log (same key space throughout)
+    for a, b in [(0, 1000), (1000, 2000)]:
+        generate_events(spark, 3000, start=a, end=b).coalesce(1).write.mode(
+            "append"
+        ).parquet(wal)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t_live"), repos_schema, ["repo", "path"], n_buckets=4,
+        derived={"content_sha256": ("sha256", "content")},
+    )
+    stream = CdcStream(tbl, str(tmp_path / "chk_live"))
+    q = stream.start(spark, wal, available_now=False, max_files_per_trigger=4)
+    try:
+        def max_seq():
+            v = tbl.read(include_tombstones=True).agg(F.max("last_seq")).first()[0]
+            return -1 if v is None else v
+
+        deadline = _time.time() + 60
+        while max_seq() < 1999 and _time.time() < deadline:
+            _time.sleep(1)
+        assert max_seq() == 1999
+        # new WAL files arrive while the query is live
+        extra = generate_events(spark, 3000, start=2000, end=3000)
+        extra.coalesce(1).write.mode("append").parquet(wal)
+        while max_seq() < 2999 and _time.time() < deadline:
+            _time.sleep(1)
+        assert max_seq() == 2999
+    finally:
+        q.stop()
+    # final state equals the oracle over everything delivered
+    full = generate_events(spark, 3000).toPandas()
+    exp = oracle_final_state(full)
+    got = tbl.read().select(*COLS).orderBy("repo", "path").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[COLS].reset_index(drop=True), check_dtype=False)
