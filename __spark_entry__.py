@@ -20,7 +20,15 @@ Engine-parity rules used throughout:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# self-locating: the etl_spark package lives next to this file, so the
+# contract works regardless of the caller's working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
