@@ -152,25 +152,27 @@ def q_content_sha256(spark, sf_dir):
 
 def q_dataset_checksum(spark, sf_dir):
     """Order-independent per-source dataset checksum — the reference's
-    dataset checksum contract (sorted keys, then hash;
-    etl/steps/__init__.py:465-466): sha256 over doc_id-ordered
-    concatenation of per-row sha256."""
+    dataset checksum contract (etl/steps/__init__.py:465-466) via a
+    COMMUTATIVE reduction: bit_xor of 60-bit row digests, where each
+    row digest is the first 15 hex chars of sha256(doc_id ':' text).
+
+    Scale: O(1) aggregation state per group (a previous revision
+    collect_list'd every row hash into one buffer — unbounded memory
+    per source at 100 TB). xor-cancellation is impossible because
+    doc_id is folded into the hash, making every row digest unique.
+    Both engines compute the identical value (sha256 hex + hex->int
+    are engine-agnostic)."""
     d = _t(spark, sf_dir, "documents")
-    per_row = d.select("source", "doc_id", F.sha2("text", 256).alias("h"))
-    return (
-        per_row.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sha2(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("doc_id", "h"))), lambda x: x["h"]
-                    ),
-                    "",
-                ),
-                256,
-            ).alias("dataset_sha256"),
-        )
+    row_digest = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")), 256),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor(row_digest).alias("dataset_digest"),
     )
 
 
@@ -531,7 +533,8 @@ def _sql_quality() -> str:
 WITH base AS (
   SELECT doc_id,
          LENGTH(text) AS n_chars,
-         ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS n_tokens,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens,
          ({punct}) AS punct_n,
          ({stop}) AS stop_n
   FROM documents
@@ -758,7 +761,7 @@ FROM (
         "content_sha256": "SELECT doc_id, SHA256(text) AS text_sha256 FROM documents",
         "dataset_checksum": """
 SELECT source, COUNT(*) AS n_docs,
-       SHA256(STRING_AGG(SHA256(text), '' ORDER BY doc_id)) AS dataset_sha256
+       BIT_XOR(('0x' || SUBSTR(SHA256(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS dataset_digest
 FROM documents GROUP BY source
 """,
         "pricing_summary": """
@@ -922,7 +925,8 @@ FROM documents
         "langid": _sql_langid(),
         "token_counts": """
 SELECT doc_id,
-       ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))::BIGINT AS n_tokens,
+       CASE WHEN TRIM(text) = '' THEN 0
+            ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END::BIGINT AS n_tokens,
        ARRAY_LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens
 FROM documents
 """,

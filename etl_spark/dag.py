@@ -143,7 +143,7 @@ class Pipeline:
             out_path = self._path(name)
             # data first, checksum last (commit point): sidecar write in
             # write_with_meta happens after the parquet lands
-            out_sum = table_checksum(df, step.keys or df.columns)
+            out_sum = table_checksum(df)
             write_with_meta(
                 df, out_path,
                 meta={"source_checksum": input_sum, "output_checksum": out_sum,

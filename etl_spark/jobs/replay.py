@@ -67,7 +67,38 @@ def ensure_table(spark, args):
     from etl_spark.sources.wal import EVENT_SCHEMA_EVOLVED
 
     if LakeTable.exists(args.table):
-        return LakeTable(spark, args.table)
+        t = LakeTable(spark, args.table)
+        # the stored manifest wins over flags, but a silent mismatch
+        # (e.g. rerunning a cow table with --write-mode mor) is the
+        # kind of operator error that corrupts expectations — error on
+        # structural mismatches, warn on derived-column ones
+        m = t.manifest()
+        req_keys = args.key_cols.split(",")
+        problems = []
+        if m["key_cols"] != req_keys:
+            problems.append(f"--key-cols {req_keys} != table {m['key_cols']}")
+        if m.get("write_mode", "cow") != args.write_mode:
+            problems.append(
+                f"--write-mode {args.write_mode} != table {m.get('write_mode', 'cow')}"
+            )
+        if m["n_buckets"] != args.n_buckets and args.n_buckets != 64:
+            print(
+                f"warning: --n-buckets {args.n_buckets} ignored; table has "
+                f"{m['n_buckets']} (use rebucket() to change)",
+                file=sys.stderr,
+            )
+        stored_derived = m.get("derived", {})
+        if args.checksum_col and args.checksum_col not in stored_derived:
+            print(
+                f"warning: --checksum-col {args.checksum_col} not a derived column "
+                f"of the existing table (has {sorted(stored_derived)})",
+                file=sys.stderr,
+            )
+        if problems:
+            raise SystemExit(
+                "refusing to reuse table with conflicting flags: " + "; ".join(problems)
+            )
+        return t
     keys = args.key_cols.split(",")
     user_fields = [
         f for f in EVENT_SCHEMA_EVOLVED.fields if f.name not in ("op", "ts", args.seq_col)

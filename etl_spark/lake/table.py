@@ -53,6 +53,15 @@ _BUCKET = "_b"
 _DELETED = "_deleted"
 
 
+def _max_opt(a, b):
+    """max over int-or-None operands (None = unknown/absent)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return max(int(a), int(b))
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first (optimistic
     concurrency, Iceberg-style): re-read CURRENT and retry the merge."""
@@ -190,6 +199,7 @@ class LakeTable:
             "derived": {k: list(v) for k, v in (derived or {}).items()},
             "write_mode": write_mode,
             "deltas": [],
+            "max_seq": None,
             "committed_at": time.time(),
         }
         _atomic_write(os.path.join(t._meta_dir, "v0.json"), json.dumps(m))
@@ -308,8 +318,19 @@ class LakeTable:
         Callers whose df is already hash-partitioned on the key
         columns (the merge path) pass pre_partitioned=True and skip
         the extra shuffle entirely (bucket id == partition id by
-        construction of _bucket_expr)."""
-        data_dir = os.path.join(self.root, "data", f"v{version}")
+        construction of _bucket_expr).
+
+        The directory is unique PER ATTEMPT (v{N}-{token}), not per
+        version: optimistic concurrency is decided later by the
+        manifest's exclusive create, and data files land before that
+        race is resolved — a deterministic per-version path would let
+        the losing writer overwrite the winner's already-committed
+        files. With unique paths the loser's files are orphans
+        (collected by expire_versions); the manifest records the real
+        paths."""
+        data_dir = os.path.join(
+            self.root, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
+        )
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         out_df = df.select(F.col(_BUCKET), *ordered)
         if not pre_partitioned:
@@ -464,7 +485,8 @@ class LakeTable:
                            F.sha2(F.col(srccol), 256)).otherwise(F.col(dst)),
                 )
         v = m["version"] + 1
-        delta_dir = os.path.join(self.root, "delta", f"v{v}")
+        # unique per attempt — same concurrency rationale as _write_buckets
+        delta_dir = os.path.join(self.root, "delta", f"v{v}-{uuid.uuid4().hex[:8]}")
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in new_schema.fields]
         kept.select(F.col(_BUCKET), *ordered).write.partitionBy(_BUCKET).mode(
             "overwrite"
@@ -473,12 +495,21 @@ class LakeTable:
         for d in os.listdir(delta_dir):
             if d.startswith(f"{_BUCKET}="):
                 out[d.split("=")[1]] = {"path": os.path.join(delta_dir, d)}
+        # batch max seq from the just-written delta: a column-pruned
+        # scan of the seq column only (keeps ingest O(batch))
+        if out:
+            bmx = (
+                self.spark.read.parquet(delta_dir).select(F.max(F.col(seq))).first()[0]
+            )
+        else:
+            bmx = None
         m2 = {
             **m,
             "version": v,
             "parent": m["version"],
             "schemas": schemas,
             "current_schema_id": sid,
+            "max_seq": _max_opt(m.get("max_seq"), bmx),
             "deltas": [*m.get("deltas", []), {"sid": sid, "buckets": out}],
             "epochs": {**m.get("epochs", {}), **({str(epoch): v} if epoch is not None else {})},
             "committed_at": time.time(),
@@ -509,11 +540,18 @@ class LakeTable:
 
     def _merge_resolve(self, m, src, new_schema, schemas, sid, epoch, extra_manifest) -> dict:
         seq = self.seq_col
-        dirty = {int(r[_BUCKET]) for r in src.select(_BUCKET).distinct().collect()}
+        # one pruned scan discovers the dirty buckets AND the batch's
+        # max seq (collect_set is bounded by n_buckets) — the manifest
+        # tracks max_seq so upsert() never scans the table for it
+        probe = src.agg(
+            F.collect_set(F.col(_BUCKET)).alias("bs"), F.max(F.col(seq)).alias("mx")
+        ).first()
+        dirty = {int(b) for b in probe["bs"]}
+        max_seq = _max_opt(m.get("max_seq"), probe["mx"])
         if not dirty:
             # empty batch: still record the epoch (fence) without data IO
             v = m["version"] + 1
-            m2 = {**m, "version": v, "parent": m["version"],
+            m2 = {**m, "version": v, "parent": m["version"], "max_seq": max_seq,
                   "epochs": {**m.get("epochs", {}), **({str(epoch): v} if epoch is not None else {})},
                   "committed_at": time.time(), **(extra_manifest or {})}
             self._commit(m2)
@@ -594,6 +632,7 @@ class LakeTable:
             "schemas": schemas,
             "current_schema_id": sid,
             "buckets": new_buckets,
+            "max_seq": max_seq,
             "epochs": {**m.get("epochs", {}), **({str(epoch): v} if epoch is not None else {})},
             "committed_at": time.time(),
             **(extra_manifest or {}),
@@ -610,9 +649,20 @@ class LakeTable:
     def upsert(self, source: DataFrame, epoch=None) -> dict:
         """Generic keyed upsert (source wins; no deletes) — the
         reference's upsert_table semantics (etl/grapher_import.py:186-306)
-        without CDC ordering: rows get seq = max(existing)+1."""
+        without CDC ordering: rows get seq = max(existing)+1.
+
+        max(existing) comes from the manifest's ``max_seq`` (O(1),
+        maintained by every merge commit) — never a table scan. Tables
+        created before max_seq existed fall back to one full scan
+        INCLUDING tombstones (a tombstone may hold the max seq; the
+        new row must outrank it) and the result is then persisted by
+        the merge commit."""
         m = self.manifest()
-        cur_max = self.read().agg(F.max(self.seq_col)).first()[0] if m["buckets"] else None
+        cur_max = m.get("max_seq")
+        if cur_max is None and (m["buckets"] or m.get("deltas")):
+            cur_max = (
+                self.read(include_tombstones=True).agg(F.max(self.seq_col)).first()[0]
+            )
         base = (cur_max or 0) + 1
         src = source.withColumn("op", F.lit("upsert")).withColumn("seq", F.lit(base).cast("long"))
         return self.merge_cdc(src, epoch=epoch)
@@ -694,7 +744,7 @@ class LakeTable:
         df = self.read(include_tombstones=True)
         v = m["version"] + 1
         new_b = F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(n_buckets))
-        data_dir = os.path.join(self.root, "data", f"v{v}")
+        data_dir = os.path.join(self.root, "data", f"v{v}-{uuid.uuid4().hex[:8]}")
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         (df.withColumn(_BUCKET, new_b).select(F.col(_BUCKET), *ordered)
            .repartition(n_buckets, F.col(_BUCKET))

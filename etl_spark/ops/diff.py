@@ -70,11 +70,25 @@ def frames_equal(left: DataFrame, right: DataFrame, keys: Sequence[str], **kw) -
     return frame_diff(left, right, keys, **kw).limit(1).count() == 0
 
 
-def table_checksum(df: DataFrame, keys: Sequence[str]) -> str:
-    """Order-independent content checksum of a whole frame — the
-    reference's dataset checksum contract (changes with data, invariant
-    to copying/partitioning; lib/catalog/tests/test_datasets.py:215-241).
-    bit_xor of per-row xxhash64 (commutative; keyed rows are unique)."""
+def table_checksum(df: DataFrame) -> str:
+    """Order- and partition-independent content checksum of a whole
+    frame — the reference's dataset checksum contract (changes with
+    data, invariant to copying/partitioning;
+    lib/catalog/tests/test_datasets.py:215-241).
+
+    Multiplicity-safe commutative reduction: rows are grouped by their
+    64-bit content hash, then the (hash, count) pairs are combined
+    with bit_xor of xxhash64(hash, count). A bare xor of row hashes
+    would cancel identical rows in even multiplicities (gaining/losing
+    a duplicated row twice would checksum identically — unacceptable
+    for dirty-detection on arbitrary step outputs); hashing the count
+    in makes every multiplicity distinct. Both aggregations are
+    map-side combinable; the shuffle carries (hash, count) only."""
     row_hash = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
-    v = df.agg(F.bit_xor(row_hash).alias("d")).first()["d"]
+    v = (
+        df.groupBy(row_hash.alias("__h"))
+        .count()
+        .agg(F.bit_xor(F.xxhash64(F.col("__h"), F.col("count"))).alias("d"))
+        .first()["d"]
+    )
     return format((v or 0) & 0xFFFFFFFFFFFFFFFF, "016x")

@@ -17,7 +17,7 @@ def test_slice_near_1e10_is_deterministic(spark):
     bit-identical content, no overflow artifacts at 10-digit seqs."""
     a = generate_events(spark, TEN_B, start=TEN_B - 2000, end=TEN_B - 1000, partitions=3)
     b = generate_events(spark, TEN_B, start=TEN_B - 2000, end=TEN_B - 1000, partitions=7)
-    assert table_checksum(a, ["seq"]) == table_checksum(b, ["seq"])
+    assert table_checksum(a) == table_checksum(b)
     rows = a.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("seq").alias("lo"),
@@ -45,16 +45,19 @@ def test_distribution_stable_across_scales(spark):
         assert abs(m1.get(op, 0) - m2.get(op, 0)) < 0.02, (op, m1, m2)
 
 
+GOLDEN_FAR_SLICE = "6df52bb4621c5d7e"
+
+
 def test_far_slice_golden_checksum(spark):
-    """Golden pin: refactors of the generator must not silently change
-    the log bytes (the snapshot-immutability contract)."""
+    """Golden pin against a HARD-CODED literal: refactors of the
+    generator must not silently change the log bytes (the
+    snapshot-immutability contract). Comparing the generator to itself
+    at two partition counts proves determinism but can never catch a
+    definition change — only the literal can."""
     df = generate_events(spark, TEN_B, start=123_456_789_0, end=123_456_789_0 + 100)
-    c = table_checksum(df, ["seq"])
-    # pinned from the current generator; a change here is a BREAKING
-    # change to the WAL definition and must be deliberate
-    assert c == table_checksum(
-        generate_events(spark, TEN_B, start=123_456_789_0, end=123_456_789_0 + 100,
-                        partitions=5),
-        ["seq"],
-    )
+    c = table_checksum(df)
+    # captured from the current generator + current table_checksum
+    # formula; a mismatch here is a BREAKING change to the WAL
+    # definition (or the checksum) and must be deliberate
+    assert c == GOLDEN_FAR_SLICE
     assert len(c) == 16

@@ -257,3 +257,77 @@ def test_properties_and_column_docs(spark, tmp_path, repos_schema):
         t.set_column_docs(nope="missing column")
     # metadata-only commits are versions too (time travel sees old props)
     assert t.manifest(v - 1).get("properties", {}).get("sla") is None
+
+
+def test_losing_writer_cannot_clobber_winner_data(spark, tmp_path, repos_schema):
+    """Data/delta dirs are unique per attempt: a concurrent writer that
+    loses the manifest race leaves orphan files — the winner's
+    already-committed data is untouched (previously both wrote
+    data/v{N} with mode overwrite, so the loser silently replaced the
+    winner's files AFTER the winner's manifest pointed at them)."""
+    import pytest as _pytest
+
+    from etl_spark.lake.table import CommitConflictError, LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "race"), repos_schema, ["repo", "path"], n_buckets=2)
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("r", "p", "c", None, "winner", "insert", 1)],
+            "repo string, path string, commit string, lang string, content string, op string, seq long",
+        ),
+        epoch=0,
+    )
+    # a stale writer replays the same version number with DIFFERENT data
+    stale = LakeTable(spark, str(tmp_path / "race"))
+    stale_m = stale.manifest(0)
+
+    class _Stale(LakeTable):
+        def manifest(self, version=None):
+            return stale_m if version in (None, 0) else super().manifest(version)
+
+    loser = _Stale(spark, str(tmp_path / "race"))
+    with _pytest.raises(CommitConflictError):
+        loser.merge_cdc(
+            spark.createDataFrame(
+                [("r", "p", "c", None, "loser", "insert", 99)],
+                "repo string, path string, commit string, lang string, content string, op string, seq long",
+            ),
+        )
+    # the winner's committed bytes are still what its manifest points at
+    assert t.read().first()["content"] == "winner"
+
+
+def test_manifest_tracks_max_seq_and_upsert_is_o1(spark, tmp_path, repos_schema):
+    """max_seq is maintained by every merge commit (including deletes,
+    whose tombstone may hold the max), so upsert() assigns the next seq
+    from the manifest instead of scanning the table."""
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "ms"), repos_schema, ["repo", "path"], n_buckets=2)
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("r", "a", "c1", None, "x", "insert", 5),
+             ("r", "b", "c2", None, "y", "insert", 7)],
+            "repo string, path string, commit string, lang string, content string, op string, seq long",
+        ),
+        epoch=0,
+    )
+    assert t.manifest()["max_seq"] == 7
+    # a delete carries the new max seq — tracked even though the row is a tombstone
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("r", "b", None, None, None, "delete", 11)],
+            "repo string, path string, commit string, lang string, content string, op string, seq long",
+        ),
+        epoch=1,
+    )
+    assert t.manifest()["max_seq"] == 11
+    # upsert must outrank the seq-11 tombstone: re-inserting key b wins
+    up = spark.createDataFrame(
+        [("r", "b", "c3", None, "z", None)],
+        "repo string, path string, commit string, lang string, content string, content_sha256 string",
+    ).drop("content_sha256")
+    t.upsert(up)
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got == {"a": "x", "b": "z"}
+    assert t.manifest()["max_seq"] == 12

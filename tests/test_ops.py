@@ -166,11 +166,23 @@ def test_frame_diff(spark):
 
 def test_table_checksum_partition_invariant(spark):
     df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
-    c1 = table_checksum(df.repartition(7), ["k"])
-    c2 = table_checksum(df.repartition(3, "v"), ["k"])
+    c1 = table_checksum(df.repartition(7))
+    c2 = table_checksum(df.repartition(3, "v"))
     assert c1 == c2
-    c3 = table_checksum(df.filter("k < 99"), ["k"])
+    c3 = table_checksum(df.filter("k < 99"))
     assert c1 != c3
+
+
+def test_table_checksum_multiplicity_safe(spark):
+    """A row appearing an EVEN number of extra times must still change
+    the checksum (a bare xor of row hashes cancels in pairs)."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dup2 = base.union(
+        spark.createDataFrame([(1, "a"), (1, "a")], "k long, v string")
+    )
+    assert table_checksum(base) != table_checksum(dup2)
+    # and the checksum is still order/partition independent on bags
+    assert table_checksum(dup2.repartition(5)) == table_checksum(dup2)
 
 
 def test_shift_and_rolling(spark):
