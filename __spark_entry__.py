@@ -177,6 +177,134 @@ def q_dataset_checksum(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# lake / MERGE core (the engine's heart, driven end-to-end: build a
+# real bucketed LakeTable from the driver's events, replay it through
+# merge_cdc in epoch batches — COW and MOR — with deletes, derived
+# checksums and a schema-evolution step, then read the final state
+# back. Oracle = the latest-wins SQL over the same events. Reference
+# contract: etl/grapher_import.py:186-306 (upsert) + 343-435 (ghost
+# cleanup); schema evolution = lib/repack lossless-widen contract.
+# ---------------------------------------------------------------------------
+
+
+def _events_as_cdc(ev: DataFrame) -> DataFrame:
+    """Driver events -> CDC source: key=user_id, seq=event_id,
+    'error' events act as deletes (the latest event per key wins; a
+    winning delete tombstones the key)."""
+    return ev.select(
+        "user_id", "event_type", "value", "props",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def _replay_events_table(spark, sf_dir: str, write_mode: str, evolved: bool = False):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+        T.StructField("props_sha256", T.StringType(), True),
+    ])
+    root = tempfile.mkdtemp(prefix="lakeq_")
+    tbl = LakeTable.create(
+        spark, root + "/t", schema, ["user_id"], seq_col="last_seq", n_buckets=8,
+        derived={"props_sha256": ("sha256", "props")}, write_mode=write_mode,
+    )
+    src = _events_as_cdc(ev)
+    mx = int(ev.agg(F.max("event_id")).first()[0] or 0)
+    cut = mx // 2
+    if evolved:
+        # epoch 1 ships an ADDED column (value_r) — the merge applies
+        # the schema evolution transactionally with the data; winners
+        # from epoch 0 read back as NULL for the new column
+        tbl.merge_cdc(src.filter(F.col("seq") < cut), epoch=0)
+        tbl.merge_cdc(
+            src.filter(F.col("seq") >= cut).withColumn("value_r", _r("value", 2)),
+            epoch=1,
+        )
+    else:
+        step = mx // 3 + 1
+        for i in range(3):
+            tbl.merge_cdc(
+                src.filter((F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step)),
+                epoch=i,
+            )
+    return tbl
+
+
+def _final_state(tbl) -> DataFrame:
+    return tbl.read().select(
+        "user_id",
+        F.col("last_seq").alias("event_id"),
+        "event_type",
+        _r("value", 6).alias("value"),
+        "props_sha256",
+    )
+
+
+def q_cdc_merge_table(spark, sf_dir):
+    """COW merge path end-to-end: 3 seq-range epochs into a bucketed
+    table (latest-wins, tombstoned deletes, derived sha256), final
+    state read back."""
+    return _final_state(_replay_events_table(spark, sf_dir, "cow"))
+
+
+def q_mor_read_equivalence(spark, sf_dir):
+    """Merge-on-read path: same replay as cdc_merge_table but via
+    O(batch) delta appends and NO compaction — the read-time resolve
+    must produce the identical final state."""
+    return _final_state(_replay_events_table(spark, sf_dir, "mor"))
+
+
+def q_cdc_merge_evolved(spark, sf_dir):
+    """COW merge + transactional schema evolution: epoch 1 adds a
+    column; the final state exposes it as NULL for pre-evolution
+    winners."""
+    tbl = _replay_events_table(spark, sf_dir, "cow", evolved=True)
+    return tbl.read().select(
+        "user_id",
+        F.col("last_seq").alias("event_id"),
+        "event_type",
+        _r("value", 6).alias("value"),
+        "value_r",
+        "props_sha256",
+    )
+
+
+_SQL_MERGE_FINAL = """
+SELECT user_id, event_id, event_type,
+       FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
+       SHA256(props) AS props_sha256
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1 AND event_type <> 'error'
+"""
+
+_SQL_MERGE_EVOLVED = """
+WITH cut AS (SELECT CAST(MAX(event_id) // 2 AS BIGINT) AS c FROM events)
+SELECT user_id, event_id, event_type,
+       FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
+       CASE WHEN event_id >= (SELECT c FROM cut)
+            THEN FLOOR((value) * 1e2 + 0.5) / 1e2 END AS value_r,
+       SHA256(props) AS props_sha256
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style relational core
 # ---------------------------------------------------------------------------
 
@@ -715,6 +843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_latest_wins_salted": q_cdc_latest_wins_salted,
         "cdc_replay_state": q_cdc_replay_state,
+        "cdc_merge_table": q_cdc_merge_table,
+        "cdc_merge_evolved": q_cdc_merge_evolved,
+        "mor_read_equivalence": q_mor_read_equivalence,
         "content_sha256": q_content_sha256,
         "dataset_checksum": q_dataset_checksum,
         "pricing_summary": q_pricing_summary,
@@ -758,6 +889,9 @@ FROM (
   FROM events
 ) t WHERE rn = 1 AND event_type <> 'error'
 """,
+        "cdc_merge_table": _SQL_MERGE_FINAL,
+        "cdc_merge_evolved": _SQL_MERGE_EVOLVED,
+        "mor_read_equivalence": _SQL_MERGE_FINAL,
         "content_sha256": "SELECT doc_id, SHA256(text) AS text_sha256 FROM documents",
         "dataset_checksum": """
 SELECT source, COUNT(*) AS n_docs,
