@@ -344,10 +344,13 @@ def q_region_revenue(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # supplier grows with SF — leave its join strategy to Catalyst/AQE
+    # (autoBroadcastJoinThreshold decides at the actual size); only the
+    # fixed-cardinality dims (nation=25, region=5) are broadcast by hand
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
@@ -577,6 +580,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(d, k=8, bands=4, shingle_n=3)
 
 
+def q_minhash_star_edges(spark, sf_dir):
+    """Scale-path LSH emission: per band bucket, every member points at
+    the bucket's min id — O(bucket) edges instead of O(bucket²) pairs
+    (the mega-duplicate-cluster defense; see dedup/cascade.py)."""
+    from etl_spark.dedup.cascade import lsh_star_edges
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_star_edges(d, k=8, bands=4, shingle_n=3)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
@@ -734,6 +747,32 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _sql_minhash_star() -> str:
+    mh = ", ".join(
+        f"LIST_MIN(LIST_TRANSFORM(sh, s -> SHA256('{i}:' || s))) AS mh{i}" for i in range(8)
+    )
+    bands = ", ".join(
+        f"SHA256('{b}' || '|' || mh{2 * b} || ',' || mh{2 * b + 1}) AS bk{b}" for b in range(4)
+    )
+    return f"""
+WITH words AS ({_SQL_SHINGLES}),
+sh AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(1, ARRAY_LENGTH(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+  FROM words WHERE ARRAY_LENGTH(w) >= 3
+),
+sig AS (SELECT doc_id, {mh} FROM sh WHERE ARRAY_LENGTH(sh) > 0),
+bandk AS (SELECT doc_id, {bands} FROM sig),
+keys AS (
+  SELECT doc_id, UNNEST([bk0, bk1, bk2, bk3]) AS band_key FROM bandk
+)
+SELECT DISTINCT rep_id, member_id FROM (
+  SELECT MIN(doc_id) OVER (PARTITION BY band_key) AS rep_id, doc_id AS member_id
+  FROM keys
+) WHERE member_id > rep_id
+"""
+
+
 def _sql_ngram_jaccard() -> str:
     return f"""
 WITH words AS ({_SQL_SHINGLES}),
@@ -868,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_star_edges": q_minhash_star_edges,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash16": q_simhash16,
         "embed_cosine_pairs": q_embed_cosine_pairs,
@@ -1051,6 +1091,7 @@ SELECT doc_id,
 FROM documents
 """,
         "minhash_lsh_pairs": _sql_minhash_lsh(),
+        "minhash_star_edges": _sql_minhash_star(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "simhash16": _sql_simhash16(),
         "embed_cosine_pairs": _sql_embed_pairs(),

@@ -66,7 +66,6 @@ def lsh_band_keys(sig_df: DataFrame, bands: int, id_col: str = "doc_id") -> Data
     """Explode a signature into ``bands`` band keys:
     band_key = sha256(band_index || rows-of-band). Two docs share a
     band key iff that band's minhashes all agree."""
-    k = None  # rows per band derived from the signature length at plan time
     sig = F.col("sig")
     rows_per_band = F.size(sig) / bands
     band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
@@ -94,7 +93,14 @@ def lsh_candidate_pairs(
     use_xxhash: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b), deduplicated across
-    bands. Self-join on band_key; only (band_key, id) tuples shuffle."""
+    bands. Self-join on band_key; only (band_key, id) tuples shuffle.
+
+    SCALE CAVEAT: pair emission is quadratic in a bucket's size — a
+    mega-cluster of near-identical docs explodes it. At corpus scale
+    use the cascade (etl_spark.dedup.cascade): exact dedup FIRST
+    (collapses byte-identical copies), then lsh_star_edges (O(bucket)
+    emission) + union_by_min. This all-pairs form is the verifier /
+    small-bucket path."""
     sig = minhash_signature(df, text_col, id_col, k, shingle_n, use_xxhash)
     keys = lsh_band_keys(sig, bands, id_col)
     a = keys.select(F.col("band_key"), F.col(id_col).alias("id_a"))

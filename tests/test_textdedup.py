@@ -203,3 +203,58 @@ def test_fingerprint_normalization(spark):
     fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
     assert fps[0] == fps[1] == fps[2]
     assert fps[0] == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_star_edges_linear_in_cluster_size(spark):
+    """A pathological duplicate cluster (5k near-identical docs) emits
+    O(cluster) star edges — the all-pairs form would emit ~12.5M pairs
+    before distinct()."""
+    from etl_spark.dedup.cascade import lsh_star_edges, star_edges
+
+    n = 5000
+    rows = [(i, "the same boilerplate text repeated for every mirror page copy") for i in range(n)]
+    rows += [(n + i, f"unique document number {i} with its own words entirely {i * 7}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = lsh_star_edges(df, k=8, bands=4, use_xxhash=True)
+    cnt = edges.count()
+    # every cluster member points at the min id: exactly n-1 edges for
+    # the big cluster; the templated "unique" docs may add a few more
+    # (they share words) — the bound that matters is LINEAR, not n²/2
+    assert edges.filter("rep_id = 0").count() == n - 1
+    assert cnt < n + 50, cnt
+
+    # generic star_edges: one bucket of 1000 ids -> 999 edges
+    keys = spark.createDataFrame([("b", i) for i in range(1000)], "band_key string, doc_id long")
+    assert star_edges(keys).count() == 999
+
+
+def test_dedup_cascade_exact_then_near(spark):
+    """Cascade contract: byte-identical copies collapse in the exact
+    stage (the LSH stage never sees them), near-identical survivors
+    cluster via star edges + union-by-min, and every input row maps to
+    its cluster representative."""
+    from etl_spark.dedup.cascade import dedup_cascade
+
+    exact_copies = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(100)]
+    near_a = [(200, "alpha beta gamma delta epsilon zeta eta theta iota")]
+    distinct = [(300, "completely different words nothing shared here at all"),
+                (301, "another disjoint document with separate vocabulary tokens")]
+    df = spark.createDataFrame(exact_copies + near_a + distinct, "doc_id long, text string")
+    out = {r["doc_id"]: r["keep_id"] for r in dedup_cascade(df, use_xxhash=True).collect()}
+    assert len(out) == 103  # every input row is mapped
+    # all 100 exact copies share one representative (the min id, 0)
+    assert {out[i] for i in range(100)} == {0}
+    # the near-duplicate joins the same cluster (8 of its 9 shingles match)
+    assert out[200] == 0
+    # distinct docs survive as their own representatives
+    assert out[300] == 300 and out[301] == 301
+
+
+def test_union_by_min_chains(spark):
+    """Components propagate across chained buckets: a-b and b-c edges
+    put all three in component min(a)."""
+    from etl_spark.dedup.cascade import union_by_min
+
+    edges = spark.createDataFrame([(1, 5), (5, 9), (20, 21)], "rep_id long, member_id long")
+    got = {r["id"]: r["component"] for r in union_by_min(edges).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
