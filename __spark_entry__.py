@@ -614,6 +614,17 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(queries, e, k=3)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """The SCALE path for ANN (O(Q×N/2^D) bucket joins, not the O(Q×N)
+    cross join): hyperplane-LSH with multiprobe, planes baked in as
+    deterministic literals so the oracle reproduces the exact buckets."""
+    from etl_spark.sim.ann import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(queries, e, k=3, n_planes=4, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -835,6 +846,52 @@ SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM ranked WHERE rank <
 """
 
 
+def _sql_ann_lsh() -> str:
+    """Mirrors sim.ann.lsh_topk exactly: identical literal hyperplanes
+    (hyperplane_signs is pure Python, shared), identical bucket bits,
+    identical multiprobe set and ranking."""
+    from etl_spark.sim.ann import hyperplane_signs
+
+    n_planes, dim = 4, 64
+    planes = hyperplane_signs(n_planes, dim)
+
+    def bucket(col: str) -> str:
+        expr = "0"
+        for signs in planes:
+            arr = "[" + ", ".join(str(s) for s in signs) + "]"
+            dot = (
+                f"LIST_AGGREGATE(LIST_TRANSFORM(LIST_ZIP({col}, {arr}::DOUBLE[]), "
+                f"p -> p[1]::DOUBLE * p[2]), 'sum')"
+            )
+            expr = f"(({expr}) * 2 + CASE WHEN ({dot}) > 0 THEN 1 ELSE 0 END)"
+        return expr
+
+    cos = _sql_cos("p.qv", "c.embedding")
+    probes = ", ".join(["b0"] + [f"xor(b0, {1 << p})" for p in range(n_planes)])
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding, {bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv, {bucket('embedding')} AS b0
+  FROM embeddings WHERE vec_id < 5
+),
+p AS (SELECT query_id, qv, UNNEST([{probes}]) AS bucket FROM q0),
+cand AS (
+  SELECT DISTINCT p.query_id, c.neighbor_id,
+         FLOOR(({cos}) * 1e6 + 0.5) / 1e6 AS cosine
+  FROM p JOIN c USING (bucket)
+  WHERE p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= 3
+"""
+
+
 def _sql_interpolate_daily() -> str:
     return """
 WITH obs AS (
@@ -912,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash16,
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "token_counts": q_token_counts,
@@ -1096,6 +1154,7 @@ FROM documents
         "simhash16": _sql_simhash16(),
         "embed_cosine_pairs": _sql_embed_pairs(),
         "ann_topk": _sql_ann_topk(),
+        "ann_lsh_topk": _sql_ann_lsh(),
         "text_quality": _sql_quality(),
         "langid": _sql_langid(),
         "token_counts": """

@@ -6,21 +6,33 @@
   correctness baseline.
 - ``lsh_topk``: random-hyperplane LSH. Each vector gets a sign-bit
   bucket from D deterministic hyperplanes (components ±1 derived from
-  sha2 bits — reproducible everywhere, no stored model). Queries probe
-  their own bucket (plus optional multi-probe neighbors at hamming
-  distance 1); candidates are ranked exactly. At corpus scale this
-  turns the O(Q×N) cross join into O(Q×N/2^D) bucket joins — the
-  scale path, trading recall for fan-in.
+  sha256 bits computed ONCE in Python and baked into the plan as
+  array literals — reproducible in any engine, no stored model, and
+  the per-row work is one zip_with dot product per plane instead of
+  re-hashing per element). Queries probe their own bucket (plus
+  optional multi-probe neighbors at hamming distance 1); candidates
+  are ranked exactly. At corpus scale this turns the O(Q×N) cross
+  join into O(Q×N/2^D) bucket joins — the scale path, trading recall
+  for fan-in.
 
 All native expressions; scoring reuses etl_spark.dedup.embed.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_spark.dedup.embed import cosine_sim
+
+
+def _det6(col: Column) -> Column:
+    """floor(x*1e6+0.5)/1e6 — the cross-engine deterministic rounding
+    used throughout the oracle contract (engines' ROUND tie-breaks
+    differ at decimal boundaries)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 def brute_force_topk(
@@ -41,7 +53,7 @@ def brute_force_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_sim(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        _det6(cosine_sim(F.col("__qv"), F.col("__cv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -51,40 +63,37 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int) -> Column:
-    """Sign of <vec, h_plane> where h_plane[d] = ±1 from bit (d % 256)
-    of sha2(str(plane)) — deterministic, dimension-agnostic."""
-    signed = F.aggregate(
-        vec,
-        F.struct(F.lit(0.0).alias("acc"), F.lit(0).alias("d")),
-        lambda s, x: F.struct(
-            (
-                s["acc"]
-                + x.cast("double")
-                * F.when(
-                    F.conv(
-                        F.substring(F.sha2(F.lit(f"plane:{plane}"), 256), (s["d"] % 64) + 1, 1),
-                        16,
-                        10,
-                    ).cast("int")
-                    % 2
-                    == 1,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-            ).alias("acc"),
-            (s["d"] + 1).alias("d"),
-        ),
-        lambda s: s["acc"],
-    )
-    return (signed > 0).cast("int")
-
-
-def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """LSH bucket id in [0, 2^n_planes): concatenated hyperplane sign
-    bits."""
-    out = F.lit(0)
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components: bit d of
+    sha256(f"plane:{p}:{d//256}") selects the sign of component d.
+    Computed once in Python (driver side), embedded as plan literals —
+    any engine can reproduce the identical planes from this spec."""
+    planes = []
     for p in range(n_planes):
-        out = out * 2 + _hyperplane_sign(vec, p)
+        signs: list[float] = []
+        digest = b""
+        for d in range(dim):
+            if d % 256 == 0:
+                digest = hashlib.sha256(f"plane:{p}:{d // 256}".encode()).digest()
+            bit = (digest[(d % 256) // 8] >> (d % 8)) & 1
+            signs.append(1.0 if bit else -1.0)
+        planes.append(signs)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id in [0, 2^len(planes)): concatenated sign bits of
+    <vec, plane_p>. One zip_with dot product per plane — pure codegen,
+    each input array evaluated once per row."""
+    out = F.lit(0)
+    for signs in planes:
+        lit = F.array(*[F.lit(s) for s in signs])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out * 2 + (dot > 0).cast("int")
     return out
 
 
@@ -93,6 +102,7 @@ def lsh_topk(
     corpus: DataFrame,
     k: int = 10,
     n_planes: int = 6,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
@@ -102,16 +112,20 @@ def lsh_topk(
 
     With multiprobe, each query also probes the n_planes buckets at
     hamming distance 1 (flip one sign bit) — recall insurance for
-    vectors near a hyperplane."""
+    vectors near a hyperplane. ``dim`` (embedding length) is read from
+    the corpus if not given (one first() probe)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplane_signs(n_planes, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("__b0"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__b0"),
     )
     if multiprobe:
         probes = F.array(
@@ -126,7 +140,7 @@ def lsh_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_sim(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        _det6(cosine_sim(F.col("__qv"), F.col("__cv"))).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
