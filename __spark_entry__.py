@@ -602,6 +602,16 @@ def q_simhash16(spark, sf_dir):
     return d.select("doc_id", simhash_md5(F.col("text"), bits=16).alias("simhash"))
 
 
+def q_simhash_neardup_md5(spark, sf_dir):
+    """The simhash scale path (chunk-LSH bucket join + hamming verify,
+    never all-pairs) on the oracle-verifiable 32-bit md5 signature —
+    identical plan shape to the production 64-bit xxhash variant."""
+    from etl_spark.dedup.simhash import simhash_neardup_pairs_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs_md5(d, bits=32, max_hamming=3)
+
+
 def q_embed_cosine_pairs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     pairs = e.select(F.col("vec_id").alias("id_a"), (F.col("vec_id") + 1).alias("id_b"))
@@ -723,6 +733,36 @@ hashed AS (
   FROM toks
 )
 SELECT doc_id, ({total})::BIGINT AS simhash FROM hashed
+"""
+
+
+def _sql_simhash_neardup_md5() -> str:
+    """Mirrors dedup.simhash.simhash_neardup_pairs_md5: 32-bit md5
+    simhash, 4 x 8-bit chunk buckets, hamming <= 3 verify."""
+    votes = []
+    for b in range(32):
+        votes.append(
+            f"CASE WHEN LIST_AGGREGATE(LIST_TRANSFORM(th, h -> "
+            f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+            f"THEN {2 ** b}::BIGINT ELSE 0 END"
+        )
+    total = " + ".join(votes)
+    chunks = ", ".join(f"'{i}:' || ((sig >> {8 * i}) & 255)" for i in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(w, t -> ('0x' || SUBSTR(MD5(t), 1, 8))::BIGINT) AS th
+  FROM toks
+),
+sig AS (SELECT doc_id, ({total})::BIGINT AS sig FROM hashed),
+chunks AS (SELECT doc_id, sig, UNNEST([{chunks}]) AS chunk FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM chunks a JOIN chunks b USING (chunk)
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
@@ -967,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_star_edges": q_minhash_star_edges,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash16": q_simhash16,
+        "simhash_neardup_md5": q_simhash_neardup_md5,
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1152,6 +1193,7 @@ FROM documents
         "minhash_star_edges": _sql_minhash_star(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "simhash16": _sql_simhash16(),
+        "simhash_neardup_md5": _sql_simhash_neardup_md5(),
         "embed_cosine_pairs": _sql_embed_pairs(),
         "ann_topk": _sql_ann_topk(),
         "ann_lsh_topk": _sql_ann_lsh(),

@@ -53,11 +53,17 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_md5(text: Column, bits: int = 16) -> Column:
     """Arithmetic simhash (default 16 bits) whose token hash is the
-    first 4 hex chars of md5(token) interpreted as an integer — every
-    SQL engine computes the identical value (conv/ CAST of hex), which
-    makes this variant oracle-verifiable across engines."""
+    first bits/4 hex chars of md5(token) interpreted as an integer —
+    every SQL engine computes the identical value (conv / CAST of
+    hex), which makes this variant oracle-verifiable across engines.
+    ``bits`` must be <= 60 (15 hex chars fit a signed 64-bit int)."""
+    if bits > 60:
+        raise ValueError("simhash_md5 supports at most 60 bits")
+    hex_chars = (bits + 3) // 4
     toks = tokens(F.lower(text))
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, hex_chars), 16, 10).cast("long")
+    )
 
     def bit_vote(b: int) -> Column:
         return F.aggregate(
@@ -72,30 +78,65 @@ def simhash_md5(text: Column, bits: int = 16) -> Column:
     return out
 
 
-def simhash_neardup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+def chunked_neardup_pairs(
+    sigs: DataFrame,
+    bits: int,
+    n_chunks: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
 ) -> DataFrame:
-    """Near-dup pairs by simhash64 hamming distance, LSH-style:
-    bucket on each of 4 16-bit chunks (two sigs within hamming<=3
-    share at least one chunk exactly); join per chunk, verify
-    hamming on the candidates. Only (chunk_key, id, sig) shuffles."""
-    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    """Near-dup pairs by hamming distance over precomputed signatures,
+    LSH-style: bucket on each of ``n_chunks`` bit-chunks (pigeonhole:
+    two sigs within hamming <= n_chunks-1 share at least one chunk
+    exactly); join per chunk, verify hamming on the candidates. Only
+    (chunk_key, id, sig) shuffles — payloads never move."""
+    if bits % n_chunks:
+        raise ValueError("bits must divide evenly into n_chunks")
+    w = bits // n_chunks
+    mask = (1 << w) - 1
     chunked = sigs.select(
         id_col,
-        "sig",
+        sig_col,
         F.explode(
             F.array(*[
-                F.concat_ws(":", F.lit(i), F.shiftrightunsigned(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
-                for i in range(4)
+                F.concat_ws(
+                    ":", F.lit(i),
+                    F.shiftrightunsigned(F.col(sig_col), w * i).bitwiseAND(F.lit(mask)),
+                )
+                for i in range(n_chunks)
             ])
         ).alias("chunk"),
     )
-    a = chunked.select(F.col("chunk"), F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
-    b = chunked.select(F.col("chunk"), F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
+    a = chunked.select(F.col("chunk"), F.col(id_col).alias("id_a"), F.col(sig_col).alias("__sa"))
+    b = chunked.select(F.col("chunk"), F.col(id_col).alias("id_b"), F.col(sig_col).alias("__sb"))
     return (
         a.join(b, "chunk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("__sa"), F.col("__sb")).alias("hamming"))
+        .select("id_a", "id_b", hamming64(F.col("__sa"), F.col("__sb")).cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs on the 64-bit xxhash simhash (4 x 16-bit chunk
+    LSH) — the production scale path."""
+    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    return chunked_neardup_pairs(sigs, bits=64, n_chunks=4, max_hamming=max_hamming, id_col=id_col)
+
+
+def simhash_neardup_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Same chunk-LSH structure on the md5 simhash — the cross-engine
+    oracle-verifiable variant of the scale path (identical plan shape:
+    chunk explode -> bucket join -> hamming verify)."""
+    sigs = df.select(F.col(id_col), simhash_md5(F.col(text_col), bits).alias("sig"))
+    return chunked_neardup_pairs(sigs, bits=bits, n_chunks=4, max_hamming=max_hamming, id_col=id_col)
