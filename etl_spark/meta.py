@@ -1,0 +1,264 @@
+"""Column-level metadata propagation through operations.
+
+The reference's single most distinctive feature: every arithmetic /
+merge / concat / fillna operation combines each column's metadata
+(title, unit, sources, origins, licenses, processing level,
+processing log) from its parents
+(/root/reference/lib/catalog/owid/catalog/variables.py:159-221, op
+registry :33-53, combine rules :364-505; table-level
+tables.py:710-788; behavior specified by
+lib/catalog/tests/test_variables.py:77-273).
+
+Spark re-expression: metadata cannot ride on the DataFrame (plans are
+immutable JVM objects), so it lives in a PLAN-SIDE registry — a
+``MetaFrame`` pairs a DataFrame with {column: ColumnMeta} and every
+wrapped operation derives the output columns' metadata from the input
+columns', entirely in driver Python (zero runtime cost; the
+DataFrame's execution plan is untouched). The combination rules are
+the reference's exactly:
+
+- title / description / unit / short_unit / display: kept iff all
+  parents that define the field agree, else dropped (None)
+  (variables.py:345-359 _get_metadata_value_from_variables_if_all_identical,
+  :415-433 _get_dict_from_list_if_all_identical)
+- sources / origins / licenses: order-preserving unique union
+  (variables.py:381-400)
+- processing_level: highest of the parents' levels, minor < major
+  (variables.py:445-467)
+- processing_log: parents' logs concatenated + one new entry
+  {variable, parents, operation} (variables.py:403-413, 507-534;
+  always on here — it is driver-side list append, not data movement)
+
+The registry round-trips to the lake layer: ``column_docs()`` emits a
+JSON-safe dict for LakeTable.set_column_docs / write_with_meta
+sidecars, and ``MetaFrame.from_column_docs`` restores it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+
+PROCESSING_LEVELS_ORDER = {"minor": 1, "major": 2}
+
+
+@dataclass
+class ColumnMeta:
+    """The VariableMeta analog (meta.py in the reference), reduced to
+    the fields the combination rules act on. All JSON-safe."""
+
+    title: str | None = None
+    description: str | None = None
+    unit: str | None = None
+    short_unit: str | None = None
+    display: dict | None = None
+    processing_level: str | None = None
+    sources: list[str] = field(default_factory=list)
+    origins: list[str] = field(default_factory=list)
+    licenses: list[str] = field(default_factory=list)
+    processing_log: list[dict] = field(default_factory=list)
+
+    def copy(self) -> "ColumnMeta":
+        return replace(
+            self,
+            display=dict(self.display) if self.display is not None else None,
+            sources=list(self.sources),
+            origins=list(self.origins),
+            licenses=list(self.licenses),
+            processing_log=[dict(e) for e in self.processing_log],
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "title": self.title,
+            "description": self.description,
+            "unit": self.unit,
+            "short_unit": self.short_unit,
+            "display": self.display,
+            "processing_level": self.processing_level,
+            "sources": self.sources,
+            "origins": self.origins,
+            "licenses": self.licenses,
+            "processing_log": self.processing_log,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ColumnMeta":
+        return cls(**{k: d.get(k) for k in (
+            "title", "description", "unit", "short_unit", "display", "processing_level",
+        )}, sources=list(d.get("sources") or []), origins=list(d.get("origins") or []),
+            licenses=list(d.get("licenses") or []),
+            processing_log=list(d.get("processing_log") or []))
+
+
+def _identical_or_none(values: list[Any]) -> Any:
+    """Keep the value iff every parent that defines it agrees
+    (variables.py:345-359); hashable and dict values both supported."""
+    defined = [v for v in values if v is not None]
+    if not defined:
+        return None
+    first = defined[0]
+    return first if all(v == first for v in defined) else None
+
+
+def _unique_union(lists: list[list[str]]) -> list[str]:
+    """Order-preserving unique concatenation (pd.unique semantics,
+    variables.py:381-400)."""
+    seen: dict[str, None] = {}
+    for lst in lists:
+        for x in lst:
+            seen.setdefault(x, None)
+    return list(seen)
+
+
+def combine_column_meta(
+    metas: list[ColumnMeta], operation: str, name: str, parents: list[str]
+) -> ColumnMeta:
+    """The reference's combine_variables_metadata (variables.py:470-505):
+    field-wise combination + a processing-log entry naming the op and
+    its parents (scalar parents appear by their string form)."""
+    out = ColumnMeta(
+        title=_identical_or_none([m.title for m in metas]),
+        description=_identical_or_none([m.description for m in metas]),
+        unit=_identical_or_none([m.unit for m in metas]),
+        short_unit=_identical_or_none([m.short_unit for m in metas]),
+        display=_identical_or_none([m.display for m in metas]),
+        sources=_unique_union([m.sources for m in metas]),
+        origins=_unique_union([m.origins for m in metas]),
+        licenses=_unique_union([m.licenses for m in metas]),
+        processing_log=[dict(e) for m in metas for e in m.processing_log],
+    )
+    levels = [m.processing_level for m in metas if m.processing_level is not None]
+    if levels:
+        unknown = set(levels) - set(PROCESSING_LEVELS_ORDER)
+        if unknown:
+            raise ValueError(f"unknown processing levels: {sorted(unknown)}")
+        top = max(PROCESSING_LEVELS_ORDER[lv] for lv in levels)
+        out.processing_level = {v: k for k, v in PROCESSING_LEVELS_ORDER.items()}[top]
+    out.processing_log.append({"variable": name, "parents": list(parents), "operation": operation})
+    return out
+
+
+class MetaFrame:
+    """A DataFrame + per-column metadata registry whose wrapped
+    operations propagate metadata the way the reference's Table /
+    Variable subclasses do — but plan-side, leaving the Spark plan
+    exactly what the bare DataFrame API would build."""
+
+    def __init__(self, df: DataFrame, meta: dict[str, ColumnMeta] | None = None):
+        self.df = df
+        self.meta: dict[str, ColumnMeta] = {
+            c: (meta or {}).get(c, ColumnMeta()).copy() for c in df.columns
+        }
+
+    # ---------- registry round-trip ----------
+
+    def column_docs(self) -> dict[str, dict]:
+        """JSON-safe {column: metadata} for sidecars /
+        LakeTable.set_column_docs."""
+        return {c: m.to_dict() for c, m in self.meta.items()}
+
+    @classmethod
+    def from_column_docs(cls, df: DataFrame, docs: dict[str, dict]) -> "MetaFrame":
+        return cls(df, {c: ColumnMeta.from_dict(d) for c, d in docs.items()})
+
+    def _wrap(self, df: DataFrame, meta: dict[str, ColumnMeta]) -> "MetaFrame":
+        return MetaFrame(df, meta)
+
+    # ---------- projections / filters: metadata passes through ----------
+
+    def select(self, *cols: str) -> "MetaFrame":
+        return self._wrap(self.df.select(*cols), {c: self.meta[c] for c in cols if c in self.meta})
+
+    def filter(self, condition) -> "MetaFrame":
+        return self._wrap(self.df.filter(condition), self.meta)
+
+    def withColumnRenamed(self, old: str, new: str) -> "MetaFrame":
+        meta = dict(self.meta)
+        if old in meta:
+            m = meta.pop(old).copy()
+            m.processing_log.append(
+                {"variable": new, "parents": [old], "operation": "rename"}
+            )
+            meta[new] = m
+        return self._wrap(self.df.withColumnRenamed(old, new), meta)
+
+    # ---------- derivations: metadata combines from parents ----------
+
+    def withColumn(
+        self,
+        name: str,
+        col: Column,
+        parents: list[str] | None = None,
+        operation: str = "create",
+    ) -> "MetaFrame":
+        """Derive a column; its metadata combines the named parent
+        columns' metadata (non-column parents — scalars — contribute
+        their string form to the log only, like the reference's
+        variable-plus-scalar ops)."""
+        parents = parents if parents is not None else []
+        parent_metas = [self.meta[p] for p in parents if p in self.meta]
+        meta = dict(self.meta)
+        meta[name] = combine_column_meta(parent_metas, operation, name, parents)
+        return self._wrap(self.df.withColumn(name, col), meta)
+
+    def fillna(self, value, subset: list[str] | None = None) -> "MetaFrame":
+        cols = subset or list(self.meta)
+        meta = dict(self.meta)
+        for c in cols:
+            if c in meta:
+                meta[c] = combine_column_meta([meta[c]], "fillna", c, [c, str(value)])
+        return self._wrap(self.df.fillna(value, subset=subset), meta)
+
+    def dropna(self, subset: list[str] | None = None) -> "MetaFrame":
+        meta = {
+            c: combine_column_meta([m], "dropna", c, [c]) for c, m in self.meta.items()
+        }
+        return self._wrap(self.df.dropna(subset=subset), meta)
+
+    # ---------- combinations: metadata merges across frames ----------
+
+    def join(self, other: "MetaFrame", on: list[str] | str, how: str = "inner") -> "MetaFrame":
+        """tables.merge (tables.py:794-871): join-key columns combine
+        both sides' metadata; non-key columns carry their side's.
+        Duplicate non-key names are rejected (the reference forbids
+        suffix-less collisions)."""
+        on_list = [on] if isinstance(on, str) else list(on)
+        clash = (set(self.meta) & set(other.meta)) - set(on_list)
+        if clash:
+            raise ValueError(f"overlapping non-key columns in join: {sorted(clash)}")
+        meta = {}
+        for c, m in self.meta.items():
+            if c in on_list:
+                meta[c] = combine_column_meta(
+                    [m, other.meta.get(c, ColumnMeta())], "merge", c, [c, c]
+                )
+            else:
+                meta[c] = m
+        for c, m in other.meta.items():
+            if c not in on_list:
+                meta[c] = m
+        return self._wrap(self.df.join(other.df, on_list, how), meta)
+
+    def unionByName(self, other: "MetaFrame") -> "MetaFrame":
+        """concat axis=0 (tables.py:874-913): per-column combination
+        across the two frames."""
+        meta = {}
+        for c in self.meta:
+            parents = [self.meta[c]] + ([other.meta[c]] if c in other.meta else [])
+            meta[c] = combine_column_meta(parents, "concat", c, [c])
+        return self._wrap(self.df.unionByName(other.df, allowMissingColumns=False), meta)
+
+    def groupby_agg(self, keys: list[str], aggs: dict[str, Column], parents: dict[str, list[str]]) -> "MetaFrame":
+        """groupBy().agg(): each output column's metadata combines its
+        declared parent columns' (``parents[out_col] = [in_cols...]``)."""
+        out = self.df.groupBy(*keys).agg(*[expr.alias(name) for name, expr in aggs.items()])
+        meta = {k: self.meta[k] for k in keys if k in self.meta}
+        for name in aggs:
+            ps = parents.get(name, [])
+            meta[name] = combine_column_meta(
+                [self.meta[p] for p in ps if p in self.meta], "groupby", name, ps
+            )
+        return self._wrap(out, meta)
