@@ -560,6 +560,38 @@ def q_pivot_priority(spark, sf_dir):
     )
 
 
+def q_yield_wide(spark, sf_dir):
+    """Wide-table fan-out (grapher_helpers.py:44-272): per-user daily
+    value sums expanded into one dimension-suffixed column per
+    event_type (value__event_type_click, ...)."""
+    from etl_spark.ops.wide import expand_dimensions
+
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+            "event_type",
+            "value",
+        )
+        .groupBy("user_id", "day", "event_type")
+        .agg(_r(F.sum("value"), 6).alias("value"))
+    )
+    return expand_dimensions(obs, ["user_id", "day"], ["event_type"], ["value"])
+
+
+_SQL_YIELD_WIDE = """
+SELECT user_id,
+       DATE_DIFF('day', DATE '1970-01-01', ts::DATE)::INT AS day,
+       FLOOR((SUM(CASE WHEN event_type = 'click' THEN value END)) * 1e6 + 0.5) / 1e6 AS value__event_type_click,
+       FLOOR((SUM(CASE WHEN event_type = 'error' THEN value END)) * 1e6 + 0.5) / 1e6 AS value__event_type_error,
+       FLOOR((SUM(CASE WHEN event_type = 'purchase' THEN value END)) * 1e6 + 0.5) / 1e6 AS value__event_type_purchase,
+       FLOOR((SUM(CASE WHEN event_type = 'signup' THEN value END)) * 1e6 + 0.5) / 1e6 AS value__event_type_signup,
+       FLOOR((SUM(CASE WHEN event_type = 'view' THEN value END)) * 1e6 + 0.5) / 1e6 AS value__event_type_view
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family (documents)
 # ---------------------------------------------------------------------------
@@ -1001,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "melt_lineitem": q_melt_lineitem,
         "pivot_priority": q_pivot_priority,
+        "yield_wide": q_yield_wide,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1179,6 +1212,7 @@ SELECT o_custkey,
        SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)::BIGINT AS n_low
 FROM orders GROUP BY o_custkey
 """,
+        "yield_wide": _SQL_YIELD_WIDE,
         "dedup_exact": """
 SELECT SHA256(text) AS text_sha256, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM documents GROUP BY 1
