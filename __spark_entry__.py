@@ -398,6 +398,40 @@ def q_map_column_region(spark, sf_dir):
     )
 
 
+_NATION_MAP = {"UNITED STATES": "USA", "UNITED KINGDOM": "UK", "ATLANTIS": "NOWHERE"}
+_NATION_EXCLUDED = ["FRANCE", "WAKANDA"]
+
+
+def q_harmonize_nation(spark, sf_dir):
+    """geo.harmonize_countries semantics (geo.py:365-444): excluded
+    keys dropped, mapping applied keep-unmapped, audit sets computed
+    (missing/unused/unknown-excluded — exercised in tests)."""
+    from etl_spark.ops.entities import harmonize_keys
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+    out, _audit = harmonize_keys(cn, "n_name", _NATION_MAP, excluded=_NATION_EXCLUDED)
+    return out.select("c_custkey", "n_name")
+
+
+def q_entity_lookup(spark, sf_dir):
+    """Two-phase lookup-or-insert (grapher_helpers.py:275-327) against
+    a fresh lake dim table: every nation name becomes an entity with a
+    deterministic id (max+row_number by key = dense rank by name)."""
+    import tempfile
+
+    from etl_spark.ops.entities import ensure_entity_table, lookup_or_insert
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+    root = tempfile.mkdtemp(prefix="entq_") + "/entities"
+    tbl = ensure_entity_table(spark, root, "n_name")
+    out = lookup_or_insert(tbl, cn, "n_name")
+    return out.select("c_custkey", "n_name", "entity_id")
+
+
 def q_combine_overlapping(spark, sf_dir):
     """combine_two_overlapping_dataframes (dataframes.py:593-672):
     finished orders take priority; open/pending orders fill gaps with
@@ -1021,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "groupby_nan_budget": q_groupby_nan_budget,
         "map_column_region": q_map_column_region,
+        "harmonize_nation": q_harmonize_nation,
+        "entity_lookup": q_entity_lookup,
         "combine_overlapping": q_combine_overlapping,
         "multi_merge_nation": q_multi_merge_nation,
         "region_mandatory_agg": q_region_mandatory_agg,
@@ -1109,6 +1145,19 @@ SELECT c_custkey, n_name, r_name AS region_name
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
+""",
+        "harmonize_nation": """
+SELECT c_custkey,
+       CASE n_name WHEN 'UNITED STATES' THEN 'USA'
+                   WHEN 'UNITED KINGDOM' THEN 'UK'
+                   WHEN 'ATLANTIS' THEN 'NOWHERE'
+                   ELSE n_name END AS n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name NOT IN ('FRANCE', 'WAKANDA')
+""",
+        "entity_lookup": """
+SELECT c_custkey, n_name, DENSE_RANK() OVER (ORDER BY n_name) AS entity_id
+FROM customer JOIN nation ON c_nationkey = n_nationkey
 """,
         "combine_overlapping": """
 SELECT o_orderkey,
