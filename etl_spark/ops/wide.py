@@ -56,6 +56,34 @@ def title_with_dims(title: str, dims: dict[str, object], dim_titles: dict[str, s
     return " - ".join([title] + rendered)
 
 
+def uses_template(text: str | None) -> bool:
+    """grapher_helpers.py:180-184: template markers are << >> / <% %>."""
+    return bool(text) and ("<%" in text or "<<" in text)
+
+
+def expand_template(text: str | None, dims: dict[str, object]) -> str | None:
+    """Expand a metadata template with the dimension values
+    (grapher_helpers.py:187-199). Uses jinja2 when available (the
+    reference's engine, << >> variable delimiters); otherwise a
+    minimal ``<< name >>`` substitution that covers the plain-variable
+    case — same output for templates without control flow."""
+    if not uses_template(text) or not dims:
+        return text
+    try:
+        import jinja2
+
+        env = jinja2.Environment(
+            block_start_string="<%", block_end_string="%>",
+            variable_start_string="<<", variable_end_string=">>",
+        )
+        return env.from_string(text).render(dims)
+    except ImportError:
+        out = text
+        for k, v in dims.items():
+            out = re.sub(r"<<\s*" + re.escape(str(k)) + r"\s*>>", str(v), out)
+        return out
+
+
 def _slice_stats(
     df: DataFrame, dim_cols: list[str], value_cols: list[str]
 ) -> list[tuple[dict, dict[str, int]]]:
@@ -108,7 +136,15 @@ def yield_wide_tables(
                 sliced = sliced.filter(F.col(short_name).isNotNull())
             src = meta.get(col, ColumnMeta()).copy()
             if src.title:
-                src.title = title_with_dims(src.title, dims, dim_titles)
+                # templated titles render with the dims; plain titles
+                # get the "Title - Dim: value" form (grapher_helpers.py:155-166)
+                src.title = (
+                    expand_template(src.title, dims)
+                    if uses_template(src.title)
+                    else title_with_dims(src.title, dims, dim_titles)
+                )
+            if src.description:
+                src.description = expand_template(src.description, dims)
             src.processing_log.append({
                 "variable": short_name,
                 "parents": [col],

@@ -73,6 +73,38 @@ def read_parquet(
     return normalize_columns(r.parquet(path))
 
 
+def read_feather(spark: SparkSession, path: str) -> DataFrame:
+    """Feather/Arrow-IPC reader — the reference's default on-disk
+    format (lib/catalog/owid/catalog/tables.py:143-163, datasets.py:24-39).
+    Feather files are snapshot-scale (single immutable source files,
+    not lake data), so the read is pyarrow on the driver, handed to
+    Spark via Arrow createDataFrame; lake-scale data stays parquet."""
+    import pyarrow.feather as feather
+
+    table = feather.read_table(path)
+    df = spark.createDataFrame(table.to_pandas())
+    return normalize_columns(df)
+
+
+def read_excel(spark: SparkSession, path: str, sheet=0, **options) -> DataFrame:
+    """Excel reader (snapshot.py:148-164, tables.py:1087-1110) —
+    gated: xlsx parsing needs openpyxl, which this sandbox does not
+    ship. With the dependency present the file loads driver-side via
+    pandas like the reference; without it the error says exactly what
+    to install (honest stub, not a silent fallback)."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "read_excel requires openpyxl (not available in this sandbox); "
+            "pre-convert the sheet to csv/parquet or install openpyxl"
+        ) from e
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet, **options)
+    return normalize_columns(spark.createDataFrame(pdf))
+
+
 def file_md5(path: str) -> str:
     h = hashlib.md5()
     with open(path, "rb") as f:
@@ -116,6 +148,10 @@ class Snapshot:
             return read_json(spark, self.path, schema=self.schema, **self.options)
         if self.fmt == "parquet":
             return read_parquet(spark, self.path, schema=self.schema)
+        if self.fmt == "feather":
+            return read_feather(spark, self.path)
+        if self.fmt == "excel":
+            return read_excel(spark, self.path, **self.options)
         raise ValueError(f"unsupported snapshot format: {self.fmt}")
 
     @classmethod

@@ -109,3 +109,51 @@ def test_long_to_wide_tables(spark):
                                 "year long, entity_id long, variable string, value double")
     with pytest.raises(ValueError):
         long_to_wide_tables(bad, ["year", "entity_id"])
+
+
+def test_template_expansion(spark):
+    """grapher_helpers.py:187-199: templated titles/descriptions render
+    with the dimension values instead of the default suffix form."""
+    from etl_spark.ops.wide import expand_template, uses_template
+
+    assert uses_template("Deaths << age >>") and not uses_template("Deaths")
+    assert expand_template("Deaths among << age >>", {"age": "10-18"}) == "Deaths among 10-18"
+    assert expand_template("plain", {"age": "x"}) == "plain"
+
+    df = spark.createDataFrame(
+        [(1, 2019, "10-18", 1.0)], "entity_id long, year long, age string, deaths double"
+    )
+    out = yield_wide_tables(
+        df, ["entity_id", "year"], ["age"], ["deaths"],
+        meta={"deaths": ColumnMeta(title="Deaths at << age >>",
+                                   description="Deaths for age << age >>")},
+    )
+    _, _, m = out[0]
+    assert m.title == "Deaths at 10-18"
+    assert m.description == "Deaths for age 10-18"
+
+
+def test_read_feather_and_excel_gate(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pytest as _pytest
+
+    from etl_spark.sources.files import Snapshot, read_excel, read_feather
+
+    p = str(tmp_path / "t.feather")
+    feather.write_feather(pa.table({"Col A": [1, 2], "colB": ["x", "y"]}), p)
+    df = read_feather(spark, p)
+    assert df.columns == ["col_a", "col_b"]
+    assert df.count() == 2
+    # snapshot pin round-trip in feather format
+    snap = Snapshot.pin(p, fmt="feather")
+    assert snap.read(spark).count() == 2
+
+    try:
+        import openpyxl  # noqa: F401
+        has_openpyxl = True
+    except ImportError:
+        has_openpyxl = False
+    if not has_openpyxl:
+        with _pytest.raises(NotImplementedError):
+            read_excel(spark, str(tmp_path / "missing.xlsx"))

@@ -128,6 +128,39 @@ def main() -> int:
         failures.append("dedup_latest: no partial aggregation")
     sections.append(("Query-path latest-wins: map-side partial agg", p4, checks4))
 
+    # 5. dataset_checksum: O(1) aggregation state — NO collect_list
+    # (a previous revision buffered every row hash per group; the
+    # commutative bit_xor digest must keep it out of the plan forever)
+    import __spark_entry__ as E
+
+    q5 = E.q_dataset_checksum(spark, sf)
+    p5 = plan_of(q5)
+    checks5 = []
+    if "collect_list" not in p5 and "CollectList" not in p5:
+        checks5.append("OK no collect_list: digest state is O(1) per group")
+    else:
+        failures.append("dataset_checksum: collect_list is back in the plan")
+    n_aggs5 = len(re.findall(r"\(\d+\) (?:Hash|Sort|ObjectHash)Aggregate", p5))
+    if n_aggs5 >= 2:
+        checks5.append("OK two-phase aggregate (map-side partial xor)")
+    else:
+        failures.append("dataset_checksum: no partial aggregation")
+    sections.append(("Dataset checksum: commutative digest, bounded state", p5, checks5))
+
+    # 6. star-edge LSH emission: shuffle carries (band_key, id) only
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from etl_spark.dedup.cascade import lsh_star_edges
+
+    q6 = lsh_star_edges(docs, k=8, bands=4, use_xxhash=True)
+    p6 = plan_of(q6)
+    checks6 = []
+    # the window min runs over (band_key, id) pairs; assert no join at all
+    if "Join" not in p6:
+        checks6.append("OK no self-join: star edges come from one window min per bucket")
+    else:
+        failures.append("star edges: unexpected join in plan")
+    sections.append(("LSH star edges: window-min, no bucket self-join", p6, checks6))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
