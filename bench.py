@@ -45,6 +45,7 @@ SHM_DIR = "/dev/shm/spark-bench-tmp"
 # oracle-parity path, not the production one)
 BENCH_QUERIES = [
     "cdc_latest_wins",
+    "cdc_merge_table",
     "pricing_summary",
     "top_unshipped",
     "region_revenue",
@@ -58,6 +59,8 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "embed_cosine_pairs",
     "ann_topk",
+    "ann_lsh_topk",
+    "minhash_star_edges",
     "text_quality",
     "langid",
     "token_counts",

@@ -211,3 +211,24 @@ def test_domain_checks(spark):
         check_known_columns(df, ["c"])
     bad = sorted((r["c"] or "~null~") for r in values_outside_domain(df, "c", ["x", "y"]).collect())
     assert bad == ["q", "~null~"]
+
+
+def test_row_sum(spark):
+    from etl_spark.ops.relational import row_sum
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 3.0), (2, None, 5.0), (3, 1.0, None)], "k long, a double, b double"
+    )
+    got = {r["k"]: r["total"] for r in row_sum(df, ["a", "b"], "total").collect()}
+    # nulls treated as 0 (the reference's Table.sum skipna default)
+    assert got == {1: 5.0, 2: 5.0, 3: 1.0}
+
+
+def test_intersect_except_passthrough(spark):
+    """SURVEY §2.7: row-level set ops are native passthroughs — pin
+    their semantics (intersect dedups, exceptAll keeps multiplicity)."""
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "v long")
+    b = spark.createDataFrame([(2,), (4,)], "v long")
+    assert sorted(r["v"] for r in a.intersect(b).collect()) == [2]
+    assert sorted(r["v"] for r in a.exceptAll(b).collect()) == [1, 2, 3]
+    assert sorted(r["v"] for r in a.intersectAll(b).collect()) == [2]
