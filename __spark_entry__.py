@@ -88,6 +88,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir() -> str | None:
+    """tmpfs scratch for the throwaway lake tables the replay queries
+    build (the sandbox's virtio disk is slow and variable); falls back
+    to the default tmp dir when /dev/shm is absent."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -214,7 +221,7 @@ def _replay_events_table(spark, sf_dir: str, write_mode: str, evolved: bool = Fa
         T.StructField("props", T.StringType(), True),
         T.StructField("props_sha256", T.StringType(), True),
     ])
-    root = tempfile.mkdtemp(prefix="lakeq_")
+    root = tempfile.mkdtemp(prefix="lakeq_", dir=_scratch_dir())
     tbl = LakeTable.create(
         spark, root + "/t", schema, ["user_id"], seq_col="last_seq", n_buckets=8,
         derived={"props_sha256": ("sha256", "props")}, write_mode=write_mode,
@@ -426,7 +433,7 @@ def q_entity_lookup(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
-    root = tempfile.mkdtemp(prefix="entq_") + "/entities"
+    root = tempfile.mkdtemp(prefix="entq_", dir=_scratch_dir()) + "/entities"
     tbl = ensure_entity_table(spark, root, "n_name")
     out = lookup_or_insert(tbl, cn, "n_name")
     return out.select("c_custkey", "n_name", "entity_id")
@@ -699,6 +706,57 @@ def q_ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return lsh_topk(queries, e, k=3, n_planes=4, dim=64)
+
+
+def q_binary_features(spark, sf_dir):
+    """Multimodal binary-column plumbing, native path: text payloads
+    cast to binary, metadata (byte length + content sha256) computed
+    without Python (multimodal/binary.py with_media_meta — the
+    dedup/lineage key for media at 100 TB; the decode stage itself is
+    the mapInPandas path, pytest-covered)."""
+    from etl_spark.multimodal.binary import with_media_meta
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    return with_media_meta(d).select("doc_id", "n_bytes", "content_sha256")
+
+
+def q_frame_diff(spark, sf_dir):
+    """The datadiff harness (etl/datadiff.py:29-150) as a query: diff
+    orders against a deterministically perturbed copy — changed rows,
+    left-only rows, and the changed-column sets."""
+    from etl_spark.ops.diff import frame_diff
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    right = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 10.0)
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    d = frame_diff(o, right, ["o_orderkey"])
+    return d.select(
+        "o_orderkey", "diff_kind",
+        F.concat_ws(",", F.col("changed_cols")).alias("changed"),
+    )
+
+
+_SQL_FRAME_DIFF = """
+WITH l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+r AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT l.o_orderkey,
+       CASE WHEN r.o_orderkey IS NULL THEN 'left_only' ELSE 'changed' END AS diff_kind,
+       CASE WHEN r.o_orderkey IS NULL THEN '' ELSE 'o_totalprice' END AS changed
+FROM l LEFT JOIN r USING (o_orderkey)
+WHERE r.o_orderkey IS NULL OR ABS(l.o_totalprice - r.o_totalprice) > 1e-8 + 1e-8 * ABS(r.o_totalprice)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1080,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "binary_features": q_binary_features,
+        "frame_diff": q_frame_diff,
         "text_quality": q_text_quality,
         "langid": q_langid,
         "token_counts": q_token_counts,
@@ -1280,6 +1340,12 @@ FROM documents
         "embed_cosine_pairs": _sql_embed_pairs(),
         "ann_topk": _sql_ann_topk(),
         "ann_lsh_topk": _sql_ann_lsh(),
+        "binary_features": """
+SELECT doc_id, OCTET_LENGTH(ENCODE(text))::BIGINT AS n_bytes,
+       SHA256(text) AS content_sha256
+FROM documents
+""",
+        "frame_diff": _SQL_FRAME_DIFF,
         "text_quality": _sql_quality(),
         "langid": _sql_langid(),
         "token_counts": """
