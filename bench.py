@@ -167,6 +167,41 @@ def mor_ingest_bench(spark, root: str, n_events: int, batches: int = 8) -> dict:
     return out
 
 
+def stream_drain_bench(spark, root: str, n_events: int, files: int = 8) -> dict:
+    """The north rule's literal shape, end-to-end: a WAL on disk,
+    Structured Streaming with Trigger.AvailableNow draining it through
+    the exactly-once foreachBatch protocol (fence check, per-partition
+    lineage rows, fused MERGE, digest in the same atomic commit).
+    Measures drain time for the whole backlog plus the no-op rerun
+    (every epoch must hit the manifest fence)."""
+    import os
+
+    from etl_spark.cdc.generator import write_event_log
+    from etl_spark.streaming.driver import CdcStream
+
+    wal = os.path.join(root, "stream_wal")
+    write_event_log(spark, wal, n_events, files=files)
+    tbl = _mk_table(spark, root, "stream_tbl")
+    stream = CdcStream(tbl, os.path.join(root, "stream_chk"))
+    t0 = time.time()
+    stream.run_to_completion(spark, wal, max_files_per_trigger=max(files // 4, 1))
+    drain = time.time() - t0
+    rows = tbl.row_count()
+    t0 = time.time()
+    stream2 = CdcStream(tbl, os.path.join(root, "stream_chk"))
+    stream2.run_to_completion(spark, wal, max_files_per_trigger=max(files // 4, 1))
+    rerun = time.time() - t0
+    lineage_n = stream.read_lineage(spark).count()
+    return {
+        "events": n_events,
+        "drain_sec": round(drain, 2),
+        "events_per_sec": round(n_events / drain),
+        "final_rows": rows,
+        "lineage_rows": int(lineage_n),
+        "noop_rerun_sec": round(rerun, 2),
+    }
+
+
 def cdc_replay(spark, root: str, name: str, n_events: int, batches: int = 4) -> float:
     """Fused engine path: generate WAL slice -> canonicalize -> one
     max_by MERGE per batch into a bucketed table with derived
@@ -215,6 +250,8 @@ def main() -> None:
         print(f"  peak local[{CPUS}]: {dt:.1f}s ({CDC_EVENTS/dt:.0f} ev/s)", file=sys.stderr)
         mor = mor_ingest_bench(spark, root, CDC_EVENTS, batches=8)
         print(f"  mor-vs-cow (8 batches): {mor}", file=sys.stderr)
+        stream = stream_drain_bench(spark, root, CDC_EVENTS // 3)
+        print(f"  structured-streaming drain: {stream}", file=sys.stderr)
 
         # adaptive trials: best-of per level only improves with more
         # samples, so keep sampling (interleaved) until the efficiency
@@ -264,6 +301,7 @@ def main() -> None:
         "core_ratio": 4,
         "scaling_efficiency": round((eps_hi / eps_lo) / 4, 3),
         "mor_vs_cow": mor,
+        "stream_drain": stream,
     }
     result["metric"] = "headline suite total + CDC replay sec"
     result["value"] = round(queries_total + min(times[CPUS]), 2)
