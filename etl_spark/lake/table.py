@@ -253,11 +253,15 @@ class LakeTable:
             for sid, paths in sorted(by_sid.items()):
                 file_schema = T.StructType.fromJson(m["schemas"][sid])
                 df = self.spark.read.schema(file_schema).parquet(*paths)
-                cols = [
-                    (F.col(f.name).cast(f.dataType) if f.name in file_schema.names
-                     else F.lit(None).cast(f.dataType)).alias(f.name)
-                    for f in cur.fields
-                ]
+                cols = []
+                for f in cur.fields:
+                    # renames are metadata-only: resolve the physical
+                    # name this file's schema generation used
+                    src = self._physical_name(m, f.name, sid)
+                    cols.append(
+                        (F.col(src).cast(f.dataType) if src in file_schema.names
+                         else F.lit(None).cast(f.dataType)).alias(f.name)
+                    )
                 parts.append(df.select(*cols))
             out = parts[0]
             for p in parts[1:]:
@@ -282,25 +286,48 @@ class LakeTable:
     # ---------- schema DDL ----------
 
     def rename_column(self, old: str, new: str) -> None:
-        """Explicit rename DDL, applied as a new schema version.
-
-        Files are untouched; readers map old-name files to the new name
-        via the per-file schema id (the field-id-free analog of
-        Iceberg's rename). Data files written before the rename keep
-        the old physical name; ``read`` aliases them."""
+        """Explicit rename DDL — METADATA-ONLY, like Iceberg's
+        field-id rename: no data file is touched or rewritten. The new
+        schema version records ``renamed_from: {new: old}``; ``read``
+        composes these maps from each file's schema id up to the
+        current schema to resolve which physical column backs each
+        logical one. At 100 TB a rename is one manifest rename, not an
+        O(table) rewrite (which a previous revision did)."""
         m = self.manifest()
         cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
         if old not in cur.names:
             raise SchemaEvolutionError(f"no such column: {old}")
         if new in cur.names:
             raise SchemaEvolutionError(f"column exists: {new}")
-        # rewrite dirty approach: rename requires rewriting files mapping;
-        # keep it simple & correct: rewrite all buckets under new schema.
+        if old in (m["seq_col"], _DELETED) or old in m["key_cols"]:
+            raise SchemaEvolutionError(f"cannot rename key/internal column: {old}")
         new_schema = T.StructType(
-            [T.StructField(new if f.name == old else f.name, f.dataType, f.nullable) for f in cur.fields]
+            [T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+             for f in cur.fields]
         )
-        df = self.read(include_tombstones=True).withColumnRenamed(old, new)
-        self._commit_rewrite(df, new_schema, note=f"rename {old}->{new}")
+        schemas = m["schemas"] + [new_schema.jsonValue()]
+        sid = len(schemas) - 1
+        rename_maps = dict(m.get("rename_maps", {}))
+        rename_maps[str(sid)] = {new: old}
+        # derived-column specs follow the rename (dst or source column)
+        derived = {
+            (new if k == old else k): [v[0], new if v[1] == old else v[1]]
+            for k, v in m.get("derived", {}).items()
+        }
+        m2 = {**m, "version": m["version"] + 1, "parent": m["version"],
+              "schemas": schemas, "current_schema_id": sid,
+              "rename_maps": rename_maps, "derived": derived,
+              "committed_at": time.time(), "note": f"rename {old}->{new}"}
+        self._commit(m2)
+
+    def _physical_name(self, m: dict, logical: str, file_sid: int) -> str:
+        """Resolve the physical column name a file written under
+        ``file_sid`` uses for the current schema's ``logical`` column,
+        by composing rename maps backward from the current schema."""
+        name = logical
+        for sid in range(m["current_schema_id"], file_sid, -1):
+            name = m.get("rename_maps", {}).get(str(sid), {}).get(name, name)
+        return name
 
     # ---------- write paths ----------
 
@@ -381,20 +408,6 @@ class LakeTable:
         _atomic_create(os.path.join(self._meta_dir, f"v{v}.json"), json.dumps(new_manifest))
         _atomic_write(os.path.join(self._meta_dir, "CURRENT"), str(v))
         return v
-
-    def _commit_rewrite(self, df: DataFrame, schema: T.StructType, note: str = "") -> int:
-        m = self.manifest()
-        v = m["version"] + 1
-        schemas = m["schemas"] + [schema.jsonValue()]
-        sid = len(schemas) - 1
-        dfb = df.withColumn(_BUCKET, self._bucket_expr(self.key_cols))
-        buckets = self._write_buckets(dfb, v, schema)
-        for ent in buckets.values():
-            ent["sid"] = sid
-        m2 = {**m, "version": v, "parent": m["version"], "schemas": schemas,
-              "current_schema_id": sid, "buckets": buckets, "note": note,
-              "committed_at": time.time()}
-        return self._commit(m2)
 
     # ---------- MERGE ----------
 

@@ -331,3 +331,74 @@ def test_manifest_tracks_max_seq_and_upsert_is_o1(spark, tmp_path, repos_schema)
     got = {r["path"]: r["content"] for r in t.read().collect()}
     assert got == {"a": "x", "b": "z"}
     assert t.manifest()["max_seq"] == 12
+
+
+def test_rename_is_metadata_only(spark, tmp_path):
+    """Rename touches no data file: the manifest grows a rename map and
+    readers resolve old-named files through it (Iceberg-style O(1)
+    rename; a previous revision rewrote the whole table)."""
+    import glob
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    files_before = sorted(glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+    t.rename_column("v", "val")
+    files_after = sorted(glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    assert files_before == files_after
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files_after)
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2}
+    # old snapshot still reads under the old name (time travel)
+    old = t.read(version=1)
+    assert "v" in old.columns and "val" not in old.columns
+
+
+def test_rename_then_merge_and_double_rename(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    t.rename_column("v", "val")
+    # merges after the rename use the new name; old files still resolve
+    src2 = spark.createDataFrame(
+        [Row(k="b", val=9, op="insert", seq=2)], "k string, val long, op string, seq long"
+    )
+    t.merge_cdc(src2, epoch=1)
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 9}
+    # second rename composes across generations
+    t.rename_column("val", "value")
+    got2 = {r["k"]: r["value"] for r in t.read().collect()}
+    assert got2 == {"a": 1, "b": 9}
+    # key/internal columns are not renamable
+    import pytest as _pytest
+
+    from etl_spark.lake.schema import SchemaEvolutionError
+
+    with _pytest.raises(SchemaEvolutionError):
+        t.rename_column("k", "key")
+
+
+def test_rename_updates_derived_spec(spark, tmp_path, repos_schema):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=2,
+        derived={"content_sha256": ("sha256", "content")},
+    )
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("r", "p", "c", None, "x", "insert", 1)],
+            "repo string, path string, commit string, lang string, content string, op string, seq long",
+        ),
+        epoch=0,
+    )
+    t.rename_column("content", "body")
+    assert t.derived_columns == {"content_sha256": ["sha256", "body"]}
+    src = spark.createDataFrame(
+        [("r", "q", "c2", None, "y", "insert", 2)],
+        "repo string, path string, commit string, lang string, body string, op string, seq long",
+    )
+    t.merge_cdc(src, epoch=1)
+    got = {r["path"]: r["content_sha256"] for r in t.read().collect()}
+    import hashlib as _h
+
+    assert got["q"] == _h.sha256(b"y").hexdigest()
+    assert got["p"] == _h.sha256(b"x").hexdigest()  # pre-rename checksum intact
