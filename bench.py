@@ -202,6 +202,38 @@ def stream_drain_bench(spark, root: str, n_events: int, files: int = 8) -> dict:
     }
 
 
+def skew_bench(spark, root: str, n_events: int, hot_pct: int = 50) -> dict:
+    """Hot-key evidence: route hot_pct% of a batch's events onto ONE
+    (repo, path) key, then replay it through (a) the default fused
+    merge (one repartition + WindowGroupLimit — the top-1 sort absorbs
+    the hot reducer) and (b) the explicit two-phase salted dedup (the
+    north rule's named mitigation). Uniform batch = baseline. The
+    numbers quantify how much skew the default plan absorbs before the
+    salted escape hatch pays."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc import replay as R
+    from etl_spark.cdc.generator import generate_events
+
+    ev = generate_events(spark, n_events, partitions=64)
+    hot = F.pmod(F.xxhash64(F.col("seq")), F.lit(100)) < hot_pct
+    skewed = (
+        ev.withColumn("repo", F.when(hot, F.lit("org0/hotrepo")).otherwise(F.col("repo")))
+        .withColumn("path", F.when(hot, F.lit("src/hot/file.rs")).otherwise(F.col("path")))
+    )
+    out = {"hot_pct": hot_pct, "events": n_events}
+    for name, df, salted in [
+        ("uniform_fused", ev, False),
+        ("skewed_fused", skewed, False),
+        ("skewed_salted", skewed, True),
+    ]:
+        tbl = _mk_table(spark, root, f"skew_{name}")
+        t0 = time.time()
+        R.apply_batch(tbl, df, epoch=0, salted=salted)
+        out[f"{name}_sec"] = round(time.time() - t0, 2)
+    return out
+
+
 def cdc_replay(spark, root: str, name: str, n_events: int, batches: int = 4) -> float:
     """Fused engine path: generate WAL slice -> canonicalize -> one
     max_by MERGE per batch into a bucketed table with derived
@@ -252,6 +284,8 @@ def main() -> None:
         print(f"  mor-vs-cow (8 batches): {mor}", file=sys.stderr)
         stream = stream_drain_bench(spark, root, CDC_EVENTS // 3)
         print(f"  structured-streaming drain: {stream}", file=sys.stderr)
+        skew = skew_bench(spark, root, CDC_EVENTS // 3)
+        print(f"  skew (50% one key): {skew}", file=sys.stderr)
 
         # adaptive trials: best-of per level only improves with more
         # samples, so keep sampling (interleaved) until the efficiency
@@ -302,6 +336,7 @@ def main() -> None:
         "scaling_efficiency": round((eps_hi / eps_lo) / 4, 3),
         "mor_vs_cow": mor,
         "stream_drain": stream,
+        "skew": skew,
     }
     result["metric"] = "headline suite total + CDC replay sec"
     result["value"] = round(queries_total + min(times[CPUS]), 2)
