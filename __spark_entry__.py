@@ -484,6 +484,48 @@ def q_region_mandatory_agg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_region_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (region -> nation -> total) — the
+    reference does this with explicit row-unions per region
+    (geo.py:344-357); Spark's rollup computes all levels in one
+    pass with partial aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "c_acctbal")
+    )
+    return (
+        cn.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            "n_customers",
+            "acctbal_sum",
+        )
+    )
+
+
+_SQL_REGION_ROLLUP = """
+WITH cn AS (
+  SELECT r_name, n_name, c_acctbal
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+       COUNT(*) AS n_customers,
+       FLOOR((SUM(c_acctbal)) * 1e2 + 0.5) / 1e2 AS acctbal_sum
+FROM cn GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def q_pct_change(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = pct_change(ev, ["user_id"], "event_id", "value", target="pct")
@@ -1118,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_overlapping": q_combine_overlapping,
         "multi_merge_nation": q_multi_merge_nation,
         "region_mandatory_agg": q_region_mandatory_agg,
+        "region_rollup": q_region_rollup,
         "pct_change": q_pct_change,
         "cumsum": q_cumsum,
         "rolling_avg": q_rolling_avg,
@@ -1252,6 +1295,7 @@ SELECT cn.r_name,
 FROM cn LEFT JOIN mand_totals USING (r_name)
 GROUP BY cn.r_name
 """,
+        "region_rollup": _SQL_REGION_ROLLUP,
         "pct_change": """
 SELECT user_id, event_id, FLOOR(((value - pv) / pv) * 1e6 + 0.5) / 1e6 AS pct
 FROM (

@@ -91,3 +91,51 @@ def test_mor_schema_evolution_in_deltas(spark, tmp_path):
     # pre-evolution winners are NULL in the added columns
     assert out.filter(F.col("last_seq") < 1500).filter(F.col("lang_version").isNotNull()).count() == 0
     assert out.filter(F.col("lang_version").isNotNull()).count() > 0
+
+
+def test_stream_drain_into_mor_table(spark, tmp_path):
+    """Structured Streaming drain into a merge-on-read table — the
+    production shape for high-rate ingest: each micro-batch is an
+    O(batch) delta append; read-time resolve and post-drain compact
+    both yield the COW-equivalent final state."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.generator import generate_events, write_event_log
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.streaming.driver import CdcStream
+
+    wal = str(tmp_path / "wal")
+    write_event_log(spark, wal, 4000, files=4)
+    schema = T.StructType([
+        T.StructField(c, T.StringType(), True)
+        for c in ["repo", "path", "commit", "lang", "content", "content_sha256"]
+    ])
+    mor = LakeTable.create(
+        spark, str(tmp_path / "mor"), schema, ["repo", "path"], n_buckets=4,
+        derived={"content_sha256": ("sha256", "content")}, write_mode="mor",
+    )
+    stream = CdcStream(mor, str(tmp_path / "chk"))
+    stream.run_to_completion(spark, wal, max_files_per_trigger=1)
+    assert len(mor.manifest()["deltas"]) > 0  # really took the delta path
+
+    from etl_spark.cdc.generator import oracle_final_state
+
+    exp = oracle_final_state(generate_events(spark, 4000).toPandas())
+    got = (
+        mor.read().select("repo", "path", "commit", "content", "content_sha256")
+        .orderBy("repo", "path").toPandas().reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got, exp[["repo", "path", "commit", "content", "content_sha256"]].reset_index(drop=True),
+        check_dtype=False,
+    )
+    # compaction folds the deltas without changing the state
+    mor.compact()
+    assert mor.manifest()["deltas"] == []
+    got2 = (
+        mor.read().select("repo", "path", "commit", "content", "content_sha256")
+        .orderBy("repo", "path").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)

@@ -71,3 +71,27 @@ def test_replay_job_batch_mode(spark, tmp_path):
     got = (t.read().select("repo", "path", "content_sha256")
            .orderBy("repo", "path").toPandas().reset_index(drop=True))
     assert list(got["content_sha256"]) == list(exp["content_sha256"])
+
+
+def test_replay_job_refuses_conflicting_flags(spark, tmp_path):
+    """ensure_table errors on structural flag mismatches against an
+    existing table instead of silently ignoring them."""
+    import pytest as _pytest
+
+    from etl_spark.jobs.replay import build_parser, ensure_table
+
+    args = build_parser().parse_args(
+        ["--wal", "x", "--table", str(tmp_path / "t"), "--write-mode", "cow"]
+    )
+    ensure_table(spark, args)  # creates
+    ensure_table(spark, args)  # reopen with same flags: fine
+    bad = build_parser().parse_args(
+        ["--wal", "x", "--table", str(tmp_path / "t"), "--write-mode", "mor"]
+    )
+    with _pytest.raises(SystemExit):
+        ensure_table(spark, bad)
+    bad2 = build_parser().parse_args(
+        ["--wal", "x", "--table", str(tmp_path / "t"), "--key-cols", "repo"]
+    )
+    with _pytest.raises(SystemExit):
+        ensure_table(spark, bad2)
