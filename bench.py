@@ -111,6 +111,11 @@ def run_queries(spark) -> dict[str, float]:
 
     qs = E.queries()
     out = {}
+    # steady-state protocol (round 2+): one untimed scan+groupBy first
+    # so JVM/codegen warmup does not land on whichever query runs
+    # first. Round 1 had no warmup — BASELINE.md §d's r1-vs-r2 table
+    # was measured WITHOUT this so the comparison stayed protocol-equal.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy("l_returnflag").count().collect()
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)

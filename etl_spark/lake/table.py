@@ -873,3 +873,26 @@ class LakeCatalog:
         return sorted(
             d for d in os.listdir(self.root) if LakeTable.exists(os.path.join(self.root, d))
         )
+
+    def info(self) -> DataFrame:
+        """One row per table from the current manifests — the
+        reference's catalog frame (`reindex`/`find`,
+        lib/catalog/owid/catalog/catalogs.py:43-109) over this
+        catalog: name, version, rows, layout and freshness. Queryable
+        like any DataFrame (find == filter)."""
+        rows = []
+        for name in self.list_tables():
+            t = self.table(name)
+            m = t.manifest()
+            rows.append((
+                name, int(m["version"]),
+                int(sum(b["rows"] for b in m["buckets"].values())),
+                int(m["n_buckets"]), m.get("write_mode", "cow"),
+                len(m.get("deltas", [])), len(m.get("epochs", {})),
+                ",".join(m["key_cols"]), float(m["committed_at"]),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "table string, version int, rows long, n_buckets int, write_mode string, "
+            "n_deltas int, n_epochs int, key_cols string, committed_at double",
+        ).withColumn("committed_at", F.timestamp_seconds(F.col("committed_at")))

@@ -402,3 +402,18 @@ def test_rename_updates_derived_spec(spark, tmp_path, repos_schema):
 
     assert got["q"] == _h.sha256(b"y").hexdigest()
     assert got["p"] == _h.sha256(b"x").hexdigest()  # pre-rename checksum intact
+
+
+def test_catalog_info(spark, tmp_path):
+    from etl_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    t1 = cat.create_table("alpha", _schema(), ["k"], n_buckets=2)
+    t1.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    cat.create_table("beta", _schema(), ["k"], n_buckets=4, write_mode="mor")
+    info = {r["table"]: r for r in cat.info().collect()}
+    assert set(info) == {"alpha", "beta"}
+    assert info["alpha"]["rows"] == 2 and info["alpha"]["n_epochs"] == 1
+    assert info["beta"]["write_mode"] == "mor" and info["beta"]["rows"] == 0
+    # find == filter
+    assert cat.info().filter("rows > 0").count() == 1
