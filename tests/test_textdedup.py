@@ -289,3 +289,18 @@ def test_lsh_topk_recall_and_equivalence(spark):
     # planes are reproducible and ±1-valued
     p1, p2 = hyperplane_signs(4, dim), hyperplane_signs(4, dim)
     assert p1 == p2 and all(s in (1.0, -1.0) for row in p1 for s in row)
+
+
+def test_simhash64_frame_matches_expression(spark, docs):
+    """The exploded-aggregate production form is bit-identical to the
+    per-row expression form, including zero-token docs (sig 0)."""
+    from etl_spark.dedup.simhash import simhash64_frame
+
+    with_empty = docs.union(
+        spark.createDataFrame([(99, "   ")], "doc_id long, text string")
+    )
+    expr = {r["doc_id"]: r["s"] for r in
+            with_empty.select("doc_id", simhash64(F.col("text")).alias("s")).collect()}
+    frame = {r["doc_id"]: r["sig"] for r in simhash64_frame(with_empty).collect()}
+    assert expr == frame
+    assert frame[99] == 0
