@@ -750,6 +750,51 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(queries, e, k=3, n_planes=4, dim=64)
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Composed training-data pipeline, end to end: exact dedup (keep
+    the min doc_id per sha256) -> quality filter (Gopher/C4-style
+    keep rule) -> per-source corpus statistics. One declarative plan:
+    the dedup window, the quality projection and the final aggregate
+    all pipeline without materialization."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256))
+    kept = (
+        d.withColumn("__rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__rep"))
+        .drop("__rep")
+    )
+    q = quality_features(kept.select("doc_id", "source", "text"), "text",
+                         id_cols=["doc_id", "source"])
+    good = q.filter(F.col("quality_keep"))
+    return good.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        _r(F.avg("mean_token_len"), 6).alias("avg_token_len"),
+        _r(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+    )
+
+
+def _sql_corpus_stats() -> str:
+    quality = _sql_quality().replace("FROM documents", "FROM kept")
+    return f"""
+WITH kept AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           MIN(doc_id) OVER (PARTITION BY SHA256(text)) AS rep
+    FROM documents
+  ) WHERE doc_id = rep
+),
+q AS (
+  SELECT k.source, f.* FROM ({quality}) f JOIN kept k USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_tokens)::BIGINT AS total_tokens,
+       FLOOR((AVG(mean_token_len)) * 1e6 + 0.5) / 1e6 AS avg_token_len,
+       FLOOR((AVG(stopword_ratio)) * 1e6 + 0.5) / 1e6 AS avg_stopword_ratio
+FROM q WHERE quality_keep GROUP BY source
+"""
+
+
 def q_binary_features(spark, sf_dir):
     """Multimodal binary-column plumbing, native path: text payloads
     cast to binary, metadata (byte length + content sha256) computed
@@ -1181,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "corpus_stats": q_corpus_stats,
         "binary_features": q_binary_features,
         "frame_diff": q_frame_diff,
         "text_quality": q_text_quality,
@@ -1384,6 +1430,7 @@ FROM documents
         "embed_cosine_pairs": _sql_embed_pairs(),
         "ann_topk": _sql_ann_topk(),
         "ann_lsh_topk": _sql_ann_lsh(),
+        "corpus_stats": _sql_corpus_stats(),
         "binary_features": """
 SELECT doc_id, OCTET_LENGTH(ENCODE(text))::BIGINT AS n_bytes,
        SHA256(text) AS content_sha256

@@ -20,6 +20,12 @@ from etl_spark.ops.relational import (
     rolling,
     shift,
 )
+from etl_spark.ops.entities import harmonize_keys, lookup_or_insert
+from etl_spark.ops.wide import (
+    expand_dimensions,
+    long_to_wide_tables,
+    yield_wide_tables,
+)
 
 __all__ = [
     "combine_two_overlapping",
@@ -35,4 +41,9 @@ __all__ = [
     "region_aggregate",
     "rolling",
     "shift",
+    "harmonize_keys",
+    "lookup_or_insert",
+    "expand_dimensions",
+    "long_to_wide_tables",
+    "yield_wide_tables",
 ]
