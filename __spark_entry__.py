@@ -230,12 +230,19 @@ def _replay_events_table(spark, sf_dir: str, write_mode: str, evolved: bool = Fa
     mx = int(ev.agg(F.max("event_id")).first()[0] or 0)
     cut = mx // 2
     if evolved:
-        # epoch 1 ships an ADDED column (value_r) — the merge applies
-        # the schema evolution transactionally with the data; winners
-        # from epoch 0 read back as NULL for the new column
-        tbl.merge_cdc(src.filter(F.col("seq") < cut), epoch=0)
+        # epoch 0 carries an int metric; epoch 1 ADDS a column
+        # (value_r) and WIDENS metric int->long — both evolutions are
+        # applied transactionally with the merge; winners from epoch 0
+        # read back as NULL for the added column and upcast for the
+        # widened one
+        metric = F.floor(F.col("value") * 100).cast("int")
         tbl.merge_cdc(
-            src.filter(F.col("seq") >= cut).withColumn("value_r", _r("value", 2)),
+            src.filter(F.col("seq") < cut).withColumn("metric", metric), epoch=0
+        )
+        tbl.merge_cdc(
+            src.filter(F.col("seq") >= cut)
+            .withColumn("value_r", _r("value", 2))
+            .withColumn("metric", metric.cast("long") + F.lit(10_000_000_000)),
             epoch=1,
         )
     else:
@@ -283,6 +290,7 @@ def q_cdc_merge_evolved(spark, sf_dir):
         "event_type",
         _r("value", 6).alias("value"),
         "value_r",
+        "metric",
         "props_sha256",
     )
 
@@ -303,6 +311,9 @@ SELECT user_id, event_id, event_type,
        FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
        CASE WHEN event_id >= (SELECT c FROM cut)
             THEN FLOOR((value) * 1e2 + 0.5) / 1e2 END AS value_r,
+       (CASE WHEN event_id >= (SELECT c FROM cut)
+             THEN FLOOR(value * 100)::BIGINT + 10000000000
+             ELSE FLOOR(value * 100)::BIGINT END) AS metric,
        SHA256(props) AS props_sha256
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -659,6 +659,22 @@ class LakeTable:
             "rows_written": sum(e["rows"] for e in written.values()),
         }
 
+    def merge_cdc_with_retry(self, source: DataFrame, max_retries: int = 3, **kw) -> dict:
+        """Optimistic-concurrency loop: on CommitConflictError re-read
+        the (now newer) CURRENT and re-apply the merge against it.
+        Safe because (a) each attempt writes to a unique data dir (the
+        loser's files are orphans, never clobbering the winner's) and
+        (b) the merge itself is idempotent per epoch/content. This is
+        the retry contract Iceberg commits document; the epoch fence
+        makes a retried-but-actually-committed epoch a no-op."""
+        last: Exception | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self.merge_cdc(source, **kw)
+            except CommitConflictError as e:
+                last = e  # manifest re-read happens inside merge_cdc
+        raise last  # type: ignore[misc]
+
     def upsert(self, source: DataFrame, epoch=None) -> dict:
         """Generic keyed upsert (source wins; no deletes) — the
         reference's upsert_table semantics (etl/grapher_import.py:186-306)

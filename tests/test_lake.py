@@ -417,3 +417,60 @@ def test_catalog_info(spark, tmp_path):
     assert info["beta"]["write_mode"] == "mor" and info["beta"]["rows"] == 0
     # find == filter
     assert cat.info().filter("rows > 0").count() == 1
+
+
+def test_merge_retry_after_conflict_and_orphan_cleanup(spark, tmp_path, repos_schema):
+    """A writer that loses the version race retries against the new
+    CURRENT and lands both changes; the loser's orphaned attempt dir
+    disappears with expire_versions."""
+    import glob
+
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "r"), repos_schema, ["repo", "path"], n_buckets=2)
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("r", "a", "c", None, "one", "insert", 1)],
+            "repo string, path string, commit string, lang string, content string, op string, seq long",
+        ),
+        epoch=0,
+    )
+    # stale handle that thinks CURRENT is v1 while another writer commits v2
+    stale_m = t.manifest()
+
+    class _Stale(LakeTable):
+        calls = 0
+
+        def manifest(self, version=None):
+            # first read returns the stale view; after the conflict the
+            # retry re-reads the real CURRENT
+            _Stale.calls += 1
+            if version is None and _Stale.calls == 1:
+                return stale_m
+            return super().manifest(version)
+
+    # the other writer wins v2
+    t.merge_cdc(
+        spark.createDataFrame(
+            [("r", "b", "c", None, "two", "insert", 2)],
+            "repo string, path string, commit string, lang string, content string, op string, seq long",
+        ),
+        epoch=1,
+    )
+    loser = _Stale(spark, str(tmp_path / "r"))
+    res = loser.merge_cdc_with_retry(
+        spark.createDataFrame(
+            [("r", "c", "c", None, "three", "insert", 3)],
+            "repo string, path string, commit string, lang string, content string, op string, seq long",
+        ),
+        epoch=2,
+    )
+    assert res["skipped"] is False
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got == {"a": "one", "b": "two", "c": "three"}
+    # the failed attempt left an orphan data dir; expire_versions removes it
+    n_dirs_before = len(glob.glob(str(tmp_path / "r" / "data" / "v*")))
+    t.expire_versions(keep_last=10)  # keep all live versions
+    n_dirs_after = len(glob.glob(str(tmp_path / "r" / "data" / "v*")))
+    assert n_dirs_after < n_dirs_before
+    assert {r["path"] for r in t.read().collect()} == {"a", "b", "c"}
