@@ -605,6 +605,61 @@ def q_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (2h size, 1h slide): each event lands
+    in two windows — the streaming window shape in its batch form
+    (streaming/windows.py; watermark is a no-op in batch)."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _r(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type", "n_events", "value_sum",
+        )
+    )
+
+
+_SQL_SLIDING = """
+SELECT ws AS window_start, event_type, COUNT(*) AS n_events,
+       FLOOR((SUM(value)) * 1e4 + 0.5) / 1e4 AS value_sum
+FROM (
+  SELECT e.*, UNNEST([DATE_TRUNC('hour', ts), DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR]) AS ws
+  FROM events e
+)
+WHERE ts >= ws AND ts < ws + INTERVAL 2 HOUR
+GROUP BY 1, 2
+"""
+
+
+def q_lineage_ranges(spark, sf_dir):
+    """Per-partition lineage over a batch (streaming/driver.py
+    lineage_rows): ARITHMETIC seq-range ids from (min, max, n_ranges)
+    — deterministic across retries and partitionings — with row
+    counts. The xxhash digest column is engine-specific and excluded
+    from the cross-engine compare (its determinism is pinned in
+    test_streaming)."""
+    from etl_spark.streaming.driver import lineage_rows
+
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("event_id", "seq")
+    return lineage_rows(ev, epoch=0, n_ranges=8).drop("sha256_digest")
+
+
+_SQL_LINEAGE = """
+WITH b AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events),
+chunk AS (SELECT lo, hi, GREATEST((hi - lo + 1 + 7) // 8, 1) AS c FROM b),
+r AS (
+  SELECT event_id, CAST((event_id - lo) // c AS INT) AS pid
+  FROM events, chunk
+)
+SELECT 0::BIGINT AS epoch, pid AS partition_id,
+       MIN(event_id) AS seq_min, MAX(event_id) AS seq_max,
+       COUNT(*) AS row_count
+FROM r GROUP BY pid
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Session counting (gaps > 30 min start a new session) — the
     batch mirror of stateful streaming sessionization."""
@@ -1223,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": q_topk_per_user,
         "interpolate_daily": q_interpolate_daily,
         "hourly_rollup": q_hourly_rollup,
+        "sliding_window": q_sliding_window,
+        "lineage_ranges": q_lineage_ranges,
         "sessionize": q_sessionize,
         "melt_lineitem": q_melt_lineitem,
         "pivot_priority": q_pivot_priority,
@@ -1394,6 +1451,8 @@ SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """,
+        "sliding_window": _SQL_SLIDING,
+        "lineage_ranges": _SQL_LINEAGE,
         "sessionize": """
 SELECT user_id, SUM(new_session)::BIGINT AS n_sessions
 FROM (
