@@ -927,6 +927,41 @@ def q_langid(spark, sf_dir):
     return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition features: duplicate word-bigram and
+    duplicate-line fractions (boilerplate markers)."""
+    from etl_spark.text.analysis import repetition_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_features(d, "text", id_cols=["doc_id"])
+
+
+_SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS toks,
+         LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\\n'), x -> LENGTH(TRIM(x)) > 0) AS lines
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lines,
+         CASE WHEN ARRAY_LENGTH(toks) >= 2
+              THEN LIST_TRANSFORM(RANGE(1, ARRAY_LENGTH(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS g2
+  FROM w
+)
+SELECT doc_id,
+       ARRAY_LENGTH(g2)::BIGINT AS n_2grams,
+       CASE WHEN ARRAY_LENGTH(g2) > 0
+            THEN FLOOR((1 - ARRAY_LENGTH(LIST_DISTINCT(g2)) * 1.0 / ARRAY_LENGTH(g2)) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS dup_2gram_ratio,
+       ARRAY_LENGTH(lines)::BIGINT AS n_lines,
+       CASE WHEN ARRAY_LENGTH(lines) > 0
+            THEN FLOOR((1 - ARRAY_LENGTH(LIST_DISTINCT(lines)) * 1.0 / ARRAY_LENGTH(lines)) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS dup_line_ratio
+FROM sh
+"""
+
+
 def q_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1299,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_diff": q_frame_diff,
         "text_quality": q_text_quality,
         "langid": q_langid,
+        "repetition": q_repetition,
         "token_counts": q_token_counts,
     }
 
@@ -1509,6 +1545,7 @@ FROM documents
         "frame_diff": _SQL_FRAME_DIFF,
         "text_quality": _sql_quality(),
         "langid": _sql_langid(),
+        "repetition": _SQL_REPETITION,
         "token_counts": """
 SELECT doc_id,
        CASE WHEN TRIM(text) = '' THEN 0

@@ -88,6 +88,33 @@ def quality_features(df: DataFrame, text_col: str = "text", id_cols: list[str] |
     return out.withColumn("quality_keep", keep)
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Gopher-style repetition signals: duplicate word-bigram fraction
+    and duplicate line fraction (1 - distinct/total). High values mark
+    boilerplate / template text the quality filter should drop. One
+    projection, arrays built per row — nothing shuffles."""
+    t = F.col(text_col)
+    sh = word_shingles(t, 2)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0)
+
+    def dup_ratio(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            F.round(1 - F.size(F.array_distinct(arr)) / n, 6),
+        ).otherwise(F.lit(0.0))
+
+    return df.select(
+        *(id_cols or [c for c in df.columns if c != text_col]),
+        F.size(sh).cast("long").alias("n_2grams"),
+        dup_ratio(sh).alias("dup_2gram_ratio"),
+        F.size(lines).cast("long").alias("n_lines"),
+        dup_ratio(lines).alias("dup_line_ratio"),
+    )
+
+
 def langid(text: Column) -> Column:
     """Heuristic language ID: argmax of marker-substring counts with a
     fixed precedence order for ties; 'und' when no marker hits.

@@ -304,3 +304,22 @@ def test_simhash64_frame_matches_expression(spark, docs):
     frame = {r["doc_id"]: r["sig"] for r in simhash64_frame(with_empty).collect()}
     assert expr == frame
     assert frame[99] == 0
+
+
+def test_repetition_features(spark):
+    from etl_spark.text.analysis import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),            # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (1, "x y z"),                  # all distinct
+            (2, "line\nline\nother"),      # duplicate line
+            (3, ""),                       # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df, "text", id_cols=["doc_id"]).collect()}
+    assert got[0]["n_2grams"] == 5 and abs(got[0]["dup_2gram_ratio"] - (1 - 2 / 5)) < 1e-6
+    assert got[1]["dup_2gram_ratio"] == 0.0
+    assert got[2]["n_lines"] == 3 and abs(got[2]["dup_line_ratio"] - (1 - 2 / 3)) < 1e-6
+    assert got[3]["n_2grams"] == 0 and got[3]["dup_2gram_ratio"] == 0.0
