@@ -101,15 +101,12 @@ def _scratch_dir() -> str | None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: CDC latest-wins replay semantics + per-row checksum
-    over the driver's events stream (sf0.001)."""
-    ev = _t(spark, "/root/testdata/sf0.001", "events")
-    latest = dedup_latest(ev, keys=["user_id"], seq_col="event_id")
-    return latest.select(
-        "user_id", "event_id", "ts", "event_type",
-        _r("value", 6).alias("value"),
-        F.sha2(F.col("props"), 256).alias("props_sha256"),
-    )
+    """Flagship: the ENGINE end to end — the driver's event stream
+    replayed through a bucketed lake table in 3 epoch batches
+    (copy-on-write MERGE, latest-wins by seq, 'error' tombstones,
+    derived sha256 checksums, atomic manifest commits), final state
+    read back."""
+    return _final_state(_replay_events_table(spark, "/root/testdata/sf0.001", "cow"))
 
 
 # ---------------------------------------------------------------------------
@@ -805,6 +802,36 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(queries, e, k=3)
 
 
+def q_embed_star_edges(spark, sf_dir):
+    """Embedding near-dup candidates at O(bucket) emission — star
+    edges over hyperplane buckets (the text-side mega-cluster defense
+    applied to embeddings; same literal planes as ann_lsh_topk)."""
+    from etl_spark.sim.ann import embedding_star_edges
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_star_edges(e, n_planes=4, dim=64)
+
+
+def _sql_embed_star() -> str:
+    from etl_spark.sim.ann import hyperplane_signs
+
+    planes = hyperplane_signs(4, 64)
+    expr = "0"
+    for signs in planes:
+        arr = "[" + ", ".join(str(s) for s in signs) + "]"
+        dot = (
+            f"LIST_AGGREGATE(LIST_TRANSFORM(LIST_ZIP(embedding, {arr}::DOUBLE[]), "
+            f"p -> p[1]::DOUBLE * p[2]), 'sum')"
+        )
+        expr = f"(({expr}) * 2 + CASE WHEN ({dot}) > 0 THEN 1 ELSE 0 END)"
+    return f"""
+WITH k AS (SELECT vec_id, {expr} AS bucket FROM embeddings)
+SELECT DISTINCT rep_id, member_id FROM (
+  SELECT MIN(vec_id) OVER (PARTITION BY bucket) AS rep_id, vec_id AS member_id FROM k
+) WHERE member_id > rep_id
+"""
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """The SCALE path for ANN (O(Q×N/2^D) bucket joins, not the O(Q×N)
     cross join): hyperplane-LSH with multiprobe, planes baked in as
@@ -1329,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embed_star_edges": q_embed_star_edges,
         "corpus_stats": q_corpus_stats,
         "binary_features": q_binary_features,
         "frame_diff": q_frame_diff,
@@ -1536,6 +1564,7 @@ FROM documents
         "embed_cosine_pairs": _sql_embed_pairs(),
         "ann_topk": _sql_ann_topk(),
         "ann_lsh_topk": _sql_ann_lsh(),
+        "embed_star_edges": _sql_embed_star(),
         "corpus_stats": _sql_corpus_stats(),
         "binary_features": """
 SELECT doc_id, OCTET_LENGTH(ENCODE(text))::BIGINT AS n_bytes,

@@ -97,6 +97,30 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def embedding_star_edges(
+    corpus: DataFrame,
+    n_planes: int = 6,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup candidate graph at O(bucket) emission: every
+    vector in a hyperplane bucket points at the bucket's min id — the
+    same star-edge defense dedup.cascade uses for text LSH, applied to
+    the embedding side (a 1M-copy embedding cluster emits 1M edges,
+    not 5·10¹¹ pairs). Verify candidates with exact cosine downstream;
+    cluster with dedup.cascade.union_by_min."""
+    from etl_spark.dedup.cascade import star_edges
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplane_signs(n_planes, dim)
+    keyed = corpus.select(
+        F.col(id_col), hyperplane_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    return star_edges(keyed, "bucket", id_col)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
