@@ -161,6 +161,26 @@ def main() -> int:
         failures.append("star edges: unexpected join in plan")
     sections.append(("LSH star edges: window-min, no bucket self-join", p6, checks6))
 
+    # 7. corpus pipeline: dedup window + quality + aggregate pipeline
+    # in ONE job — the text payload is scanned once and never shuffled
+    # (only the sha256 window key and the final per-source aggregates
+    # move)
+    q7 = E.q_corpus_stats(spark, sf)
+    p7 = plan_of(q7)
+    checks7 = []
+    n_exchange7 = len(re.findall(r"\(\d+\) Exchange", p7))
+    if n_exchange7 <= 3:
+        checks7.append(f"OK {n_exchange7} exchanges: dedup window + final agg only "
+                       "(payload scanned once)")
+    else:
+        failures.append(f"corpus_stats: too many exchanges ({n_exchange7})")
+    scans7 = len(re.findall(r"\(\d+\) Scan parquet", p7))
+    if scans7 == 1:
+        checks7.append("OK single parquet scan feeds the whole pipeline")
+    else:
+        failures.append(f"corpus_stats: {scans7} scans (expected 1)")
+    sections.append(("Corpus pipeline: single scan, bounded shuffles", p7, checks7))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
