@@ -66,10 +66,14 @@ class Step:
 class Pipeline:
     """A named set of steps writing datasets under ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, epoch: str = "0"):
         self.spark = spark
         self.root = root
         self.steps: dict[str, Step] = {}
+        # global epoch salt (the reference's ETL_EPOCH, etl/config.py:106):
+        # bumping it changes every step's input checksum — the
+        # full-rebuild knob without touching any code
+        self.epoch = epoch
 
     def step(self, name: str, deps: Sequence[str] = (), version: str = "1", keys=None):
         """Decorator: register ``fn(spark, load)`` as a step. ``load``
@@ -102,7 +106,11 @@ class Pipeline:
         return self._stored_meta(name).get("output_checksum")
 
     def checksum_input(self, step: Step) -> str:
-        parts = [f"code:{step.code_checksum()}", f"version:{step.version}"]
+        parts = [
+            f"code:{step.code_checksum()}",
+            f"version:{step.version}",
+            f"epoch:{self.epoch}",
+        ]
         for d in sorted(step.deps):
             out = self.output_checksum(d)
             parts.append(f"dep:{d}:{out}")
@@ -114,13 +122,32 @@ class Pipeline:
 
     # ---------- run ----------
 
-    def topological_order(self, only: Sequence[str] | None = None) -> list[str]:
+    def topological_order(
+        self, only: Sequence[str] | None = None, downstream: bool = False
+    ) -> list[str]:
+        """Dependency-ordered step names. ``only`` restricts to the
+        selection plus its transitive dependencies; ``downstream=True``
+        additionally includes everything that depends on the selection
+        (the reference's --downstream flag, etl/steps/__init__.py:87-110)."""
         graph = {s.name: set(s.deps) for s in self.steps.values()}
         order = list(graphlib.TopologicalSorter(graph).static_order())
         if only is None:
             return order
         wanted: set[str] = set()
         frontier = list(only)
+        if downstream:
+            rev: dict[str, set[str]] = {n: set() for n in graph}
+            for n, deps in graph.items():
+                for d in deps:
+                    rev.setdefault(d, set()).add(n)
+            seen: set[str] = set()
+            down = list(only)
+            while down:
+                n = down.pop()
+                if n not in seen:
+                    seen.add(n)
+                    down.extend(rev.get(n, ()))
+            frontier = list(seen)
         while frontier:  # include transitive deps of the selection
             n = frontier.pop()
             if n not in wanted:
@@ -128,12 +155,17 @@ class Pipeline:
                 frontier.extend(self.steps[n].deps)
         return [n for n in order if n in wanted]
 
-    def run(self, only: Sequence[str] | None = None, force: bool = False) -> dict[str, str]:
+    def run(
+        self,
+        only: Sequence[str] | None = None,
+        force: bool = False,
+        downstream: bool = False,
+    ) -> dict[str, str]:
         """Run dirty steps in dependency order; returns
         {step: 'ran' | 'skipped'}. Clean steps are skipped entirely
         (their datasets are not even read unless a dependent runs)."""
         results: dict[str, str] = {}
-        for name in self.topological_order(only):
+        for name in self.topological_order(only, downstream=downstream):
             step = self.steps[name]
             input_sum = self.checksum_input(step)
             if not force and self._stored_meta(name).get("source_checksum") == input_sum:
@@ -151,3 +183,49 @@ class Pipeline:
             )
             results[name] = "ran"
         return results
+
+    def watch(
+        self,
+        paths: Sequence[str],
+        interval_s: float = 1.0,
+        max_iterations: int | None = None,
+        on_run=None,
+    ) -> int:
+        """The reference's ``--watch`` mode (etl/command.py:137-138,
+        mtime polling etl/files.py:190-211): rerun the DAG whenever any
+        watched file's mtime changes. Code changes also flow into
+        ``checksum_input`` via code_checksum, so only genuinely
+        affected steps rerun. ``max_iterations`` bounds the loop for
+        tests; returns the number of DAG runs triggered."""
+        import time as _time
+
+        def snapshot() -> dict[str, float]:
+            out = {}
+            for p in paths:
+                if os.path.isdir(p):
+                    for base, _, files in os.walk(p):
+                        for f in files:
+                            fp = os.path.join(base, f)
+                            out[fp] = os.path.getmtime(fp)
+                elif os.path.exists(p):
+                    out[p] = os.path.getmtime(p)
+            return out
+
+        last = snapshot()
+        runs = 0
+        self.run()  # initial pass
+        runs += 1
+        if on_run:
+            on_run(runs)
+        i = 0
+        while max_iterations is None or i < max_iterations:
+            i += 1
+            _time.sleep(interval_s)
+            now = snapshot()
+            if now != last:
+                last = now
+                self.run()
+                runs += 1
+                if on_run:
+                    on_run(runs)
+        return runs

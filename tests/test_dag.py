@@ -107,3 +107,80 @@ def test_add_step_object(spark, tmp_path):
     p.add(Step("a", lambda s, load: s.range(3).select(F.col("id").alias("k")), keys=["k"]))
     assert p.run() == {"a": "ran"}
     assert p.load("a").count() == 3
+
+
+def test_downstream_selection(spark, tmp_path):
+    """--downstream semantics (etl/steps/__init__.py:87-110): selecting
+    a step with downstream=True also runs its dependents (and their
+    transitive deps), but not unrelated steps."""
+    p = Pipeline(spark, str(tmp_path / "dag"))
+
+    @p.step("a")
+    def a(spark, load):
+        return spark.createDataFrame([(1,)], "x long")
+
+    @p.step("b", deps=["a"])
+    def b(spark, load):
+        return load("a")
+
+    @p.step("c", deps=["b"])
+    def c(spark, load):
+        return load("b")
+
+    @p.step("z")
+    def z(spark, load):
+        return spark.createDataFrame([(9,)], "x long")
+
+    assert p.topological_order(["a"], downstream=True) == ["a", "b", "c"]
+    assert p.topological_order(["b"]) == ["a", "b"]
+    got = p.run(only=["a"], downstream=True)
+    assert set(got) == {"a", "b", "c"}
+
+
+def test_epoch_salt_forces_full_rebuild(spark, tmp_path):
+    """Bumping the pipeline epoch (the reference's ETL_EPOCH,
+    etl/config.py:106) dirties every step without code changes."""
+    p = Pipeline(spark, str(tmp_path / "dag"), epoch="1")
+
+    @p.step("a")
+    def a(spark, load):
+        return spark.createDataFrame([(1,)], "x long")
+
+    assert p.run() == {"a": "ran"}
+    assert p.run() == {"a": "skipped"}
+    p.epoch = "2"
+    assert p.run() == {"a": "ran"}
+
+
+def test_watch_mode_reruns_on_mtime_change(spark, tmp_path):
+    """--watch (etl/command.py:137-138): the loop reruns when a watched
+    file's mtime changes; a changed-but-irrelevant file still triggers
+    a DAG pass but every step skips clean."""
+    import os
+    import threading
+    import time
+
+    p = Pipeline(spark, str(tmp_path / "dag"))
+
+    runs_log = []
+
+    @p.step("a")
+    def a(spark, load):
+        return spark.createDataFrame([(1,)], "x long")
+
+    watched = tmp_path / "watched.txt"
+    watched.write_text("v1")
+
+    def mutate():
+        time.sleep(1.5)
+        watched.write_text("v2")
+        os.utime(watched, (time.time() + 5, time.time() + 5))
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    runs = p.watch([str(watched)], interval_s=0.5, max_iterations=6,
+                   on_run=lambda n: runs_log.append(n))
+    t.join()
+    assert runs >= 2  # initial pass + at least one change-triggered pass
+    # the change-triggered pass skipped the clean step
+    assert p.run() == {"a": "skipped"}
