@@ -207,6 +207,54 @@ def stream_drain_bench(spark, root: str, n_events: int, files: int = 8) -> dict:
     }
 
 
+def udf_tax_bench(spark, n: int = 500_000) -> dict:
+    """Quantifies the Python-boundary rule on engine-realistic rows
+    (~2 KB strings, the content-column shape): sha256 via native
+    F.sha2 (JVM codegen) vs the Arrow-batched pandas UDF vs a
+    classic per-row Python UDF. Measured on this stack: native is
+    3-4x both Python forms; the two Python forms are comparable
+    because Spark 4 Arrow-batches plain Python UDFs too — the real
+    rule is 'stay in the JVM', and when Python is unavoidable the
+    boundary cost is the same either way. Each form is JIT-warmed
+    before timing; the aggregate consumes the hash so pruning cannot
+    skip it."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from etl_spark.functions import sha256_arrow
+
+    @F.udf(StringType())
+    def sha_row(x):
+        return hashlib.sha256(x.encode()).hexdigest()
+
+    base = spark.range(0, n, 1, 32).select(
+        F.repeat(F.sha2(F.col("id").cast("string"), 256), 32).alias("s")
+    )
+    forms = [
+        ("native_sha2", F.sha2(F.col("s"), 256)),
+        ("arrow_pandas_udf", sha256_arrow(F.col("s"))),
+        ("per_row_python_udf", sha_row(F.col("s"))),
+    ]
+
+    def run(expr):
+        return (
+            base.select(expr.alias("h"))
+            .agg(F.count(F.when(F.col("h").startswith("00"), 1)))
+            .first()
+        )
+
+    for _, expr in forms:  # warm every path first
+        run(expr)
+    out = {"rows": n, "string_bytes": 2048}
+    for name, expr in forms:
+        t0 = time.time()
+        run(expr)
+        out[f"{name}_sec"] = round(time.time() - t0, 2)
+    return out
+
+
 def skew_bench(spark, root: str, n_events: int, hot_pct: int = 50) -> dict:
     """Hot-key evidence: route hot_pct% of a batch's events onto ONE
     (repo, path) key, then replay it through (a) the default fused
@@ -291,6 +339,8 @@ def main() -> None:
         print(f"  structured-streaming drain: {stream}", file=sys.stderr)
         skew = skew_bench(spark, root, CDC_EVENTS // 3)
         print(f"  skew (50% one key): {skew}", file=sys.stderr)
+        udf_tax = udf_tax_bench(spark)
+        print(f"  udf tax: {udf_tax}", file=sys.stderr)
 
         # adaptive trials: best-of per level only improves with more
         # samples, so keep sampling (interleaved) until the efficiency
@@ -342,6 +392,7 @@ def main() -> None:
         "mor_vs_cow": mor,
         "stream_drain": stream,
         "skew": skew,
+        "udf_tax": udf_tax,
     }
     result["metric"] = "headline suite total + CDC replay sec"
     result["value"] = round(queries_total + min(times[CPUS]), 2)
