@@ -802,6 +802,63 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(queries, e, k=3)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """The IVF scale path: coarse-quantize the corpus into cells
+    (deterministic first-n centroids), probe the 2 nearest cells per
+    query, rank candidates exactly — O(Q·N·n_probe/n_cells) scoring."""
+    from etl_spark.sim.ann import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(queries, e, k=3, n_cells=8, n_probe=2)
+
+
+_SQL_ANN_IVF = """
+WITH cents AS (SELECT vec_id AS cell, embedding AS cent FROM embeddings WHERE vec_id < 8),
+corpus_sc AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.cell,
+         FLOOR(({cos_cv}) * 1e6 + 0.5) / 1e6 AS cc
+  FROM embeddings e CROSS JOIN cents c
+),
+corpus_cells AS (
+  SELECT neighbor_id, cv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY cc DESC, cell ASC) AS r
+    FROM corpus_sc
+  ) WHERE r = 1
+),
+query_sc AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+         FLOOR(({cos_qv}) * 1e6 + 0.5) / 1e6 AS cc
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < 5
+),
+query_probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cc DESC, cell ASC) AS r
+    FROM query_sc
+  ) WHERE r <= 2
+),
+cand AS (
+  SELECT DISTINCT q.query_id, s.neighbor_id,
+         FLOOR(({cos_qc}) * 1e6 + 0.5) / 1e6 AS cosine
+  FROM query_probes q JOIN corpus_cells s USING (cell)
+  WHERE q.query_id <> s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= 3
+"""
+
+
+def _sql_ann_ivf() -> str:
+    return _SQL_ANN_IVF.format(
+        cos_cv=_sql_cos("e.embedding", "c.cent"),
+        cos_qv=_sql_cos("e.embedding", "c.cent"),
+        cos_qc=_sql_cos("q.qv", "s.cv"),
+    )
+
+
 def q_embed_star_edges(spark, sf_dir):
     """Embedding near-dup candidates at O(bucket) emission — star
     edges over hyperplane buckets (the text-side mega-cluster defense
@@ -1356,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_pairs": q_embed_cosine_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embed_star_edges": q_embed_star_edges,
         "corpus_stats": q_corpus_stats,
         "binary_features": q_binary_features,
@@ -1564,6 +1622,7 @@ FROM documents
         "embed_cosine_pairs": _sql_embed_pairs(),
         "ann_topk": _sql_ann_topk(),
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ann_ivf_topk": _sql_ann_ivf(),
         "embed_star_edges": _sql_embed_star(),
         "corpus_stats": _sql_corpus_stats(),
         "binary_features": """

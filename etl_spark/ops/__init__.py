@@ -13,6 +13,7 @@ from etl_spark.ops.relational import (
     latest_wins,
     map_column,
     melt,
+    merge,
     multi_merge,
     pct_change,
     pivot_wide,
@@ -35,6 +36,7 @@ __all__ = [
     "latest_wins",
     "map_column",
     "melt",
+    "merge",
     "multi_merge",
     "pct_change",
     "pivot_wide",

@@ -156,6 +156,30 @@ def multi_merge(dfs: Sequence[DataFrame], on: Sequence[str], how: str = "inner")
     return functools.reduce(lambda a, b: a.join(b, list(on), how), dfs)
 
 
+def merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    suffixes: tuple[str, str] = ("_x", "_y"),
+) -> DataFrame:
+    """The reference's ``tables.merge`` contract (tables.py:794-871):
+    equi-join with pandas-style suffix disambiguation — non-key
+    columns present on BOTH sides get ``suffixes`` appended instead of
+    erroring or silently colliding."""
+    on = list(on)
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    l = left.select(
+        *on, *[F.col(c).alias(c + suffixes[0] if c in overlap else c)
+               for c in left.columns if c not in on]
+    )
+    r = right.select(
+        *on, *[F.col(c).alias(c + suffixes[1] if c in overlap else c)
+               for c in right.columns if c not in on]
+    )
+    return l.join(r, on, how)
+
+
 # ---------------------------------------------------------------------------
 # ordered / window computations (SURVEY.md §2.5)
 # ---------------------------------------------------------------------------

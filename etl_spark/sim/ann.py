@@ -121,6 +121,65 @@ def embedding_star_edges(
     return star_edges(keyed, "bucket", id_col)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the corpus is coarse-quantized into
+    ``n_cells`` cells by nearest centroid; queries probe their
+    ``n_probe`` nearest cells and rank only those candidates exactly —
+    O(N·n_cells) one-time assignment + O(Q·N·n_probe/n_cells) query
+    scoring instead of O(Q·N).
+
+    Centroids are the ``n_cells`` corpus vectors with the smallest
+    ids — a deterministic training-free codebook (reproducible in any
+    engine; a real deployment would k-means these, which only changes
+    the centroid table, not this plan). Assignment and probing use
+    cosine rounded at 1e-6 with cell-id tie-break, so cell membership
+    is engine-independent. The centroid side is broadcast (n_cells
+    rows); the corpus is scanned once for assignment."""
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("__cent")
+    )
+
+    def assign(df: DataFrame, out_id: str, keep_vec: str, top: int) -> DataFrame:
+        scored = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(keep_vec)) \
+            .crossJoin(F.broadcast(cents)) \
+            .select(
+                out_id, keep_vec, "cell",
+                _det6(cosine_sim(F.col(keep_vec), F.col("__cent"))).alias("__cc"),
+            )
+        w = Window.partitionBy(out_id).orderBy(F.desc("__cc"), F.asc("cell"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top)
+            .drop("__r", "__cc")
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", "__cv", 1)
+    query_probes = assign(queries, "query_id", "__qv", n_probe)
+    cand = query_probes.join(corpus_cells, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        _det6(cosine_sim(F.col("__qv"), F.col("__cv"))).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -232,3 +232,19 @@ def test_intersect_except_passthrough(spark):
     assert sorted(r["v"] for r in a.intersect(b).collect()) == [2]
     assert sorted(r["v"] for r in a.exceptAll(b).collect()) == [1, 2, 3]
     assert sorted(r["v"] for r in a.intersectAll(b).collect()) == [2]
+
+
+def test_merge_suffixes(spark):
+    """tables.merge suffix contract (tables.py:794-871, reference
+    test_tables.py:528+): overlapping non-key columns are
+    disambiguated with _x/_y; key and unique columns keep their names."""
+    from etl_spark.ops import merge
+
+    a = spark.createDataFrame([(1, 10.0, "a")], "k long, v double, only_a string")
+    b = spark.createDataFrame([(1, 20.0, "b")], "k long, v double, only_b string")
+    out = merge(a, b, on=["k"], how="inner")
+    assert sorted(out.columns) == ["k", "only_a", "only_b", "v_x", "v_y"]
+    r = out.first()
+    assert r["v_x"] == 10.0 and r["v_y"] == 20.0
+    out2 = merge(a, b, on=["k"], suffixes=("_left", "_right"))
+    assert "v_left" in out2.columns and "v_right" in out2.columns

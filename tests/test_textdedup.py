@@ -323,3 +323,26 @@ def test_repetition_features(spark):
     assert got[1]["dup_2gram_ratio"] == 0.0
     assert got[2]["n_lines"] == 3 and abs(got[2]["dup_line_ratio"] - (1 - 2 / 3)) < 1e-6
     assert got[3]["n_2grams"] == 0 and got[3]["dup_2gram_ratio"] == 0.0
+
+
+def test_ivf_topk_recall_and_degenerate_exactness(spark):
+    """IVF ANN: with n_cells=1 every vector is in one cell, so IVF
+    degrades to exact brute force; with 8 cells / 2 probes recall must
+    beat the ~2/8 scored-fraction baseline on fixed data."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.sim.ann import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 20)
+
+    bf = {(r.query_id, r.rank): r.neighbor_id for r in brute_force_topk(qs, e, k=5).collect()}
+    eq = {(r.query_id, r.rank): r.neighbor_id
+          for r in ivf_topk(qs, e, k=5, n_cells=1, n_probe=1).collect()}
+    assert bf == eq
+
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(qs, e, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(qs, e, k=5, n_cells=8, n_probe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.25, recall  # scored fraction ~= 2/8
