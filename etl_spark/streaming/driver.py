@@ -86,11 +86,25 @@ class CdcStream:
         checkpoint_dir: str,
         salted: bool = False,
         lineage_ranges: int = 8,
+        maintain_every: int | None = None,
+        keep_versions: int = 4,
+        compact_deltas_over: int = 8,
     ):
+        """``maintain_every``: every N applied epochs run maintenance —
+        expire data dirs of versions older than ``keep_versions`` and,
+        on merge-on-read tables, compact once the delta chain exceeds
+        ``compact_deltas_over``. Without it a long-running stream
+        accumulates version dirs (COW) or read-time deltas (MOR)
+        unboundedly. Maintenance commits are ordinary atomic versions,
+        so a crash mid-maintenance is as safe as a crash mid-merge."""
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.salted = salted
         self.lineage_ranges = lineage_ranges
+        self.maintain_every = maintain_every
+        self.keep_versions = keep_versions
+        self.compact_deltas_over = compact_deltas_over
+        self._applied_since_maintain = 0
 
     @property
     def lineage_dir(self) -> str:
@@ -126,6 +140,18 @@ class CdcStream:
             rows or [], "epoch long, batch_digest string, committed_at double"
         ).withColumn("committed_at", F.timestamp_seconds(F.col("committed_at")))
 
+    def _maybe_maintain(self) -> None:
+        if not self.maintain_every:
+            return
+        self._applied_since_maintain += 1
+        if self._applied_since_maintain < self.maintain_every:
+            return
+        self._applied_since_maintain = 0
+        m = self.table.manifest()
+        if len(m.get("deltas", [])) > self.compact_deltas_over:
+            self.table.compact()
+        self.table.expire_versions(keep_last=self.keep_versions)
+
     def process_batch(self, batch: DataFrame, epoch: int) -> dict:
         if self.table.has_epoch(epoch):
             return {"epoch": epoch, "skipped": True}
@@ -140,22 +166,26 @@ class CdcStream:
             if "ts" in src.columns:
                 src = src.drop("ts")
             digest = R.batch_digest(src)
-            return self.table.merge_cdc(
+            out = self.table.merge_cdc(
                 src,
                 epoch=epoch,
                 extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
             )
+            self._maybe_maintain()
+            return out
         staged = R.stage_batch(batch, salted=self.salted)
         staged = staged.persist()
         try:
             digest = R.batch_digest(staged)
-            return self.table.merge_cdc(
+            out = self.table.merge_cdc(
                 staged,
                 epoch=epoch,
                 extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
             )
         finally:
             staged.unpersist()
+        self._maybe_maintain()
+        return out
 
     def start(
         self,

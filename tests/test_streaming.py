@@ -207,3 +207,40 @@ def test_continuous_tail_picks_up_new_files(spark, repos_schema, tmp_path):
     exp = oracle_final_state(full)
     got = tbl.read().select(*COLS).orderBy("repo", "path").toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp[COLS].reset_index(drop=True), check_dtype=False)
+
+
+def test_stream_auto_maintenance(spark, tmp_path):
+    """maintain_every bounds on-disk growth of a long-running stream:
+    old version data dirs are expired during the drain; the final
+    state and the epoch fence are unaffected."""
+    import glob
+
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.generator import write_event_log
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.streaming.driver import CdcStream
+
+    wal = str(tmp_path / "wal")
+    write_event_log(spark, wal, 3000, files=6)
+    schema = T.StructType([
+        T.StructField(c, T.StringType(), True)
+        for c in ["repo", "path", "commit", "lang", "content", "content_sha256"]
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ["repo", "path"], n_buckets=4,
+        derived={"content_sha256": ("sha256", "content")},
+    )
+    stream = CdcStream(t, str(tmp_path / "chk"), maintain_every=2, keep_versions=2)
+    stream.run_to_completion(spark, wal, max_files_per_trigger=1)
+    # 6 epochs committed -> without maintenance there would be 6 data
+    # dirs; expiry keeps only the last keep_versions' worth
+    dirs = glob.glob(str(tmp_path / "t" / "data" / "v*"))
+    assert len(dirs) <= 4, dirs
+    assert len(t.committed_epochs()) == 6
+    # state is still correct and the table still reads
+    assert t.read().count() > 0
+    # rerun: all epochs fenced
+    stream2 = CdcStream(t, str(tmp_path / "chk"))
+    stream2.run_to_completion(spark, wal, max_files_per_trigger=1)
+    assert len(t.committed_epochs()) == 6
