@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salted", action="store_true",
                    help="use the explicit two-phase salted dedup stage")
     p.add_argument("--lineage-ranges", type=int, default=8)
+    p.add_argument("--maintain-every", type=int, default=None,
+                   help="stream mode: run maintenance (version expiry, MOR "
+                        "compaction) every N applied epochs")
+    p.add_argument("--keep-versions", type=int, default=4)
     return p
 
 
@@ -137,6 +141,8 @@ def main(argv=None) -> int:
         stream = CdcStream(
             table, args.checkpoint, salted=args.salted,
             lineage_ranges=args.lineage_ranges,
+            maintain_every=args.maintain_every,
+            keep_versions=args.keep_versions,
         )
         if args.continuous:
             q = stream.start(spark, args.wal,
