@@ -272,6 +272,52 @@ class LakeTable:
             out = out.filter(~F.coalesce(F.col(_DELETED), F.lit(False))).drop(_DELETED)
         return out
 
+    def read_keys(self, keys: list[tuple]) -> DataFrame:
+        """Point lookup: read ONLY the buckets the given key tuples
+        hash to, then filter to those keys — O(touched buckets), not
+        O(table). Bucket ids come from one tiny local job evaluating
+        the exact engine hash (pmod(murmur3)) over the literal keys,
+        so Python never re-implements Spark's hash."""
+        if not keys:
+            return self.read().limit(0)
+        kcols = self.key_cols
+        schema = self.schema()
+        lit_df = self.spark.createDataFrame(
+            [tuple(k) for k in keys],
+            ", ".join(f"{k} {schema[k].dataType.simpleString()}" for k in kcols),
+        )
+        buckets = {
+            int(r["b"]) for r in
+            lit_df.select(self._bucket_expr(kcols).alias("b")).distinct().collect()
+        }
+        df = self.read(buckets=buckets)
+        probe = lit_df.select(*kcols)
+        return df.join(F.broadcast(probe), kcols, "left_semi")
+
+    def history(self) -> DataFrame:
+        """The version chain as a DataFrame: (version, parent, note,
+        n_buckets, rows, n_deltas, epochs_committed, committed_at) —
+        the audit/time-travel index."""
+        rows = []
+        v: int | None = self.current_version()
+        while v is not None:
+            m = self.manifest(v)
+            rows.append((
+                int(m["version"]),
+                m.get("parent"),
+                m.get("note"),
+                int(sum(b["rows"] for b in m["buckets"].values())),
+                len(m.get("deltas", [])),
+                len(m.get("epochs", {})),
+                float(m["committed_at"]),
+            ))
+            v = m.get("parent")
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, note string, rows long, n_deltas int, "
+            "n_epochs int, committed_at double",
+        ).withColumn("committed_at", F.timestamp_seconds(F.col("committed_at")))
+
     @staticmethod
     def _resolve_latest(df: DataFrame, seq_col: str, key_cols: list[str]) -> DataFrame:
         from pyspark.sql import Window

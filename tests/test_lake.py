@@ -474,3 +474,33 @@ def test_merge_retry_after_conflict_and_orphan_cleanup(spark, tmp_path, repos_sc
     n_dirs_after = len(glob.glob(str(tmp_path / "r" / "data" / "v*")))
     assert n_dirs_after < n_dirs_before
     assert {r["path"] for r in t.read().collect()} == {"a", "b", "c"}
+
+
+def test_read_keys_point_lookup(spark, tmp_path, repos_schema):
+    """Point lookup reads only the buckets the keys hash to."""
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "pk"), repos_schema, ["repo", "path"], n_buckets=8)
+    rows = [(f"r{i % 4}", f"p{i}", f"c{i}", None, f"body{i}", "insert", i) for i in range(200)]
+    t.merge_cdc(
+        spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, content string, op string, seq long",
+        ),
+        epoch=0,
+    )
+    got = t.read_keys([("r1", "p5"), ("r2", "p6"), ("r9", "nope")])
+    out = {(r["repo"], r["path"]): r["content"] for r in got.collect()}
+    assert out == {("r1", "p5"): "body5", ("r2", "p6"): "body6"}
+    # empty key list
+    assert t.read_keys([]).count() == 0
+
+
+def test_history_chain(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "h"), _schema(), ["k"], n_buckets=2)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    t.set_properties(owner="me")
+    h = t.history().orderBy("version").collect()
+    assert [r["version"] for r in h] == [0, 1, 2]
+    assert h[2]["note"] == "set_properties"
+    assert h[1]["rows"] == 1 and h[1]["n_epochs"] == 1
