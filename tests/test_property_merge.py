@@ -64,3 +64,78 @@ def test_replay_equals_pandas_oracle(spark, tmp_path_factory, stream, n_batches,
         t.merge_cdc(src, epoch=ep)
     got = {r["path"]: r["content"] for r in t.read().collect()}
     assert got == pandas_oracle(rows)
+
+
+# ---------------------------------------------------------------------------
+# adversarial OPERATION sequences: interleave merges with schema adds,
+# renames, compaction, rebucketing and maintenance — the final state
+# must always equal the pandas shadow model regardless of the order or
+# combination of lifecycle operations.
+# ---------------------------------------------------------------------------
+
+ops_stream = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), st.lists(event, min_size=1, max_size=6)),
+        st.tuples(st.just("merge_evolved"), st.lists(event, min_size=1, max_size=6)),
+        st.just(("rename",)),
+        st.just(("compact",)),
+        st.just(("rebucket",)),
+        st.just(("purge",)),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(plan=ops_stream, mor=st.booleans())
+def test_lifecycle_ops_never_change_state(spark, tmp_path_factory, plan, mor):
+    """Any interleaving of merges (with mid-stream column adds),
+    renames, compaction, rebucketing and tombstone purges yields
+    exactly the shadow model's latest-wins state, in COW and MOR."""
+    root = str(tmp_path_factory.mktemp("prop2") / "t")
+    t = LakeTable.create(
+        spark, root,
+        spark.createDataFrame([], "repo string, path string, content string").schema,
+        ["repo", "path"], n_buckets=2, write_mode="mor" if mor else "cow",
+    )
+    rows = []
+    seq = 0
+    content_col = "content"  # tracks renames
+    renamed = False
+    epoch = 0
+    for step_op in plan:
+        kind = step_op[0]
+        if kind in ("merge", "merge_evolved"):
+            chunk = []
+            for path, op, seed in step_op[1]:
+                chunk.append((path, op, None if op == "delete" else f"c:{seed}:{seq}", seq))
+                seq += 1
+            rows.extend(chunk)
+            src = spark.createDataFrame(
+                [("r", p, c, o, s) for (p, o, c, s) in chunk],
+                f"repo string, path string, {content_col} string, op string, seq long",
+            )
+            if kind == "merge_evolved":
+                from pyspark.sql import functions as F
+
+                src = src.withColumn("extra", F.length(F.coalesce(F.col(content_col), F.lit(""))))
+            t.merge_cdc(src, epoch=epoch)
+            epoch += 1
+        elif kind == "rename" and not renamed:
+            t.rename_column(content_col, "body")
+            content_col, renamed = "body", True
+        elif kind == "compact":
+            t.compact()
+        elif kind == "rebucket":
+            t.rebucket(4)
+        elif kind == "purge":
+            t.purge_tombstones(seq)
+    expect = pandas_oracle(rows)
+    got = {r["path"]: r[content_col] for r in t.read().collect()}
+    assert got == expect
