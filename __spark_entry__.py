@@ -900,6 +900,33 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(queries, e, k=3, n_planes=4, dim=64)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by key hash (reproducible
+    across engines and stable under data growth — a doc's split never
+    changes when other docs arrive)."""
+    from etl_spark.ops.sample import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+_SQL_HASH_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || SUBSTR(MD5('v1:' || doc_id::VARCHAR), 1, 8))::BIGINT AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 3435973836 THEN 'train'   -- int(0.8 * 2^32), truncated like Python
+            WHEN b < 3865470566 THEN 'val'     -- int(0.9 * 2^32)
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+FROM h GROUP BY 1
+"""
+
+
 def q_corpus_stats(spark, sf_dir):
     """Composed training-data pipeline, end to end: exact dedup (keep
     the min doc_id per sha256) -> quality filter (Gopher/C4-style
@@ -1415,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_star_edges": q_embed_star_edges,
+        "hash_split": q_hash_split,
         "corpus_stats": q_corpus_stats,
         "binary_features": q_binary_features,
         "frame_diff": q_frame_diff,
@@ -1624,6 +1652,7 @@ FROM documents
         "ann_lsh_topk": _sql_ann_lsh(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "embed_star_edges": _sql_embed_star(),
+        "hash_split": _SQL_HASH_SPLIT,
         "corpus_stats": _sql_corpus_stats(),
         "binary_features": """
 SELECT doc_id, OCTET_LENGTH(ENCODE(text))::BIGINT AS n_bytes,

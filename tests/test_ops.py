@@ -248,3 +248,32 @@ def test_merge_suffixes(spark):
     assert r["v_x"] == 10.0 and r["v_y"] == 20.0
     out2 = merge(a, b, on=["k"], suffixes=("_left", "_right"))
     assert "v_left" in out2.columns and "v_right" in out2.columns
+
+
+def test_hash_sample_and_split(spark):
+    from etl_spark.ops.sample import hash_sample, hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    s = hash_sample(df, "k", 0.25, salt="a")
+    n = s.count()
+    assert 380 < n < 620  # ~25% of 2000, hash-uniform
+    # deterministic + stable under growth: same keys stay sampled
+    kept = {r["k"] for r in s.collect()}
+    bigger = spark.createDataFrame([(i,) for i in range(4000)], "k long")
+    kept2 = {r["k"] for r in hash_sample(bigger, "k", 0.25, salt="a").collect()}
+    assert kept == {k for k in kept2 if k < 2000}
+    # different salts give (near-)independent samples
+    kept_b = {r["k"] for r in hash_sample(df, "k", 0.25, salt="b").collect()}
+    assert kept != kept_b
+
+    sp = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in sp.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1400 and sum(counts.values()) == 2000
+    # disjoint & exhaustive by construction; weights validated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, "k", {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
