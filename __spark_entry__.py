@@ -602,6 +602,32 @@ def q_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    """JSON scalar family (§2.9; the reference json.loads's metadata,
+    geo.py:120, tables.py:258-264): parse the props JSON payload,
+    extract a typed field, aggregate on it — all native
+    (get_json_object stays in codegen)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("user_id", k.alias("k"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+_SQL_JSON_EXTRACT = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(props::JSON->>'k' AS BIGINT))::BIGINT AS k_sum,
+       MAX(CAST(props::JSON->>'k' AS BIGINT)) AS k_max
+FROM events GROUP BY user_id
+"""
+
+
 def q_sliding_window(spark, sf_dir):
     """Sliding event-time windows (2h size, 1h slide): each event lands
     in two windows — the streaming window shape in its batch form
@@ -1424,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": q_topk_per_user,
         "interpolate_daily": q_interpolate_daily,
         "hourly_rollup": q_hourly_rollup,
+        "json_extract": q_json_extract,
         "sliding_window": q_sliding_window,
         "lineage_ranges": q_lineage_ranges,
         "sessionize": q_sessionize,
@@ -1601,6 +1628,7 @@ SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """,
+        "json_extract": _SQL_JSON_EXTRACT,
         "sliding_window": _SQL_SLIDING,
         "lineage_ranges": _SQL_LINEAGE,
         "sessionize": """
