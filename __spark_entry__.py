@@ -1423,6 +1423,348 @@ FROM w
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# changelog / backport / incremental derived tables (lake engine edges:
+# the reference's step-DAG dirty propagation, etl/steps/__init__.py:419-435,
+# re-expressed as data flow; backport = apps/backport/backport.py:35-70)
+# ---------------------------------------------------------------------------
+
+
+def q_table_changes(spark, sf_dir):
+    """Lake changelog (Delta-CDF analog): replay the driver's events in
+    3 seq-range epochs, then read the change feed since version 2 — the
+    NET per-key changes the last epoch caused. Pruning is manifest-only
+    (pointer equality + max_cv stats); detection is by commit-version
+    stamp, sound under out-of-order delivery (tests/test_changes.py)."""
+    tbl = _replay_events_table(spark, sf_dir, "cow")
+    return tbl.changes_since(2).select(
+        "user_id",
+        F.col("last_seq").alias("event_id"),
+        "event_type",
+        _r("value", 6).alias("value"),
+        "props_sha256",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+_SQL_TABLE_CHANGES = """
+WITH step AS (SELECT MAX(event_id) // 3 + 1 AS s FROM events),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type,
+       FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
+       CASE WHEN event_type <> 'error' THEN SHA256(props) END AS props_sha256,
+       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS change_type
+FROM w WHERE rn = 1 AND event_id >= 2 * (SELECT s FROM step)
+"""
+
+
+def q_backport_events(spark, sf_dir):
+    """Backport: table -> WAL-shaped event frame whose replay
+    reproduces the snapshot exactly (live rows as upserts at their
+    winning seq, tombstones as deletes at theirs)."""
+    tbl = _replay_events_table(spark, sf_dir, "cow")
+    return tbl.backport_events().select(
+        "user_id", "event_type", _r("value", 6).alias("value"),
+        "props_sha256", "op", "seq",
+    )
+
+
+_SQL_BACKPORT = """
+SELECT user_id, event_type, FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
+       CASE WHEN event_type <> 'error' THEN SHA256(props) END AS props_sha256,
+       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+       event_id AS seq
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+def q_incremental_sync(spark, sf_dir):
+    """Incremental derived table: a downstream lake table maintained
+    purely from the upstream's change feed (sync after epoch 1 and
+    epoch 3), with a transform that turns 'click' upserts into deletes
+    — the reference's step DAG as O(changed keys) data flow. Final dst
+    state must equal the same rule applied to the full log."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.incremental import sync
+    from etl_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+        T.StructField("props_sha256", T.StringType(), True),
+    ])
+    root = tempfile.mkdtemp(prefix="lakeinc_", dir=_scratch_dir())
+    src_t = LakeTable.create(
+        spark, root + "/src", schema, ["user_id"], seq_col="last_seq", n_buckets=8,
+        derived={"props_sha256": ("sha256", "props")},
+    )
+    dst_t = LakeTable.create(
+        spark, root + "/dst", schema, ["user_id"], seq_col="last_seq", n_buckets=8,
+    )
+
+    def xf(feed):
+        return feed.withColumn(
+            "op",
+            F.when(F.col("event_type") == "click", F.lit("delete")).otherwise(F.col("op")),
+        )
+
+    cdc = _events_as_cdc(ev)
+    mx = int(ev.agg(F.max("event_id")).first()[0] or 0)
+    step = mx // 3 + 1
+    for i in range(3):
+        src_t.merge_cdc(
+            cdc.filter((F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step)),
+            epoch=i,
+        )
+        if i in (0, 2):
+            sync(src_t, dst_t, transform=xf)
+    return dst_t.read().select(
+        "user_id",
+        F.col("last_seq").alias("event_id"),
+        "event_type",
+        _r("value", 6).alias("value"),
+        "props_sha256",
+    )
+
+
+_SQL_INCREMENTAL_SYNC = """
+SELECT user_id, event_id, event_type,
+       FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
+       SHA256(props) AS props_sha256
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1 AND event_type NOT IN ('error', 'click')
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus cleaning: line-level dedup, contamination, PII scrub, mixing
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(spark, sf_dir):
+    """Line/segment-level boilerplate removal (CCNet/RefinedWeb rule):
+    segments occurring in >= 2 distinct docs are stripped; documents
+    are rebuilt in original order. Segments = 8-word chunks (the
+    driver corpus has no newlines); identity travels as a 60-bit
+    md5-derived key — the exact scale path, oracle-verified."""
+    from etl_spark.text.lines import strip_boilerplate
+
+    d = _t(spark, sf_dir, "documents")
+    out = strip_boilerplate(d, "doc_id", "text", min_docs=2, n_words=8)
+    return out.select(
+        "doc_id", "n_lines", "n_removed",
+        F.sha2(F.col("text"), 256).alias("cleaned_sha256"),
+    )
+
+
+_SQL_LINE_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+),
+lines AS (
+  SELECT doc_id, x['pos'] AS pos, x['line'] AS line FROM (
+    SELECT doc_id,
+      UNNEST([{'pos': i, 'line': ARRAY_TO_STRING(t[(i*8+1):(i*8+8)], ' ')}
+              FOR i IN RANGE(0, CAST(CEIL(LEN(t)/8.0) AS BIGINT))]) AS x
+    FROM toks)
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         ('0x' || SUBSTR(MD5(line), 1, 15))::BIGINT AS line_key
+  FROM lines
+),
+boiler AS (
+  SELECT line_key FROM keyed GROUP BY line_key HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT k.doc_id,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE b.line_key IS NOT NULL) AS n_removed,
+       SHA256(COALESCE(STRING_AGG(CASE WHEN b.line_key IS NULL THEN k.line END,
+                                  ' ' ORDER BY k.pos), '')) AS cleaned_sha256
+FROM keyed k LEFT JOIN boiler b USING (line_key)
+GROUP BY k.doc_id
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any 8-word shingle with
+    the 'benchmark' slice (doc_id % 37 == 0) are flagged with their
+    distinct-shared-shingle count; the benchmark side broadcasts."""
+    from etl_spark.text.contamination import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    return contamination(corpus, bench, "doc_id", "text", n=8)
+
+
+_SQL_CONTAMINATION = """
+WITH toks AS (SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, ('0x' || SUBSTR(MD5(x), 1, 15))::BIGINT AS k FROM (
+    SELECT doc_id,
+      UNNEST([ARRAY_TO_STRING(t[(i+1):(i+8)], ' ')
+              FOR i IN RANGE(0, GREATEST(LEN(t) - 8, 0) + 1)]) AS x
+    FROM toks)
+),
+bench AS (SELECT DISTINCT k FROM sh WHERE doc_id % 37 = 0)
+SELECT s.doc_id, COUNT(DISTINCT s.k) AS n_contaminated_ngrams
+FROM sh s JOIN bench b USING (k)
+WHERE s.doc_id % 37 <> 0
+GROUP BY s.doc_id
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII/secret scrub as one codegen scan: per-event-type match
+    counts + an order-independent digest of the redacted payloads
+    (bit_xor of 60-bit per-row digests — O(1) agg state per group)."""
+    from etl_spark.text.redact import redact
+
+    ev = _t(spark, sf_dir, "events")
+    red = redact(ev, "props", {"num": r"[0-9]+"}, token="[{name}]")
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("props"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return red.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_num").alias("total_nums"),
+        F.bit_xor(digest).alias("redacted_digest"),
+    )
+
+
+_SQL_PII_REDACT = """
+WITH r AS (
+  SELECT event_id, event_type,
+         LEN(REGEXP_EXTRACT_ALL(props, '[0-9]+')) AS n_num,
+         REGEXP_REPLACE(props, '[0-9]+', '[num]', 'g') AS red
+  FROM events)
+SELECT event_type, COUNT(*) AS n_events, SUM(n_num)::BIGINT AS total_nums,
+       BIT_XOR(('0x' || SUBSTR(MD5(event_id::VARCHAR || ':' || red), 1, 15))::BIGINT)
+         AS redacted_digest
+FROM r GROUP BY event_type
+"""
+
+
+def q_source_mix(spark, sf_dir):
+    """Deterministic training-mix resampling: per-source epoch weights
+    (2.5 = twice + half the keys a third time), replication by
+    explode(sequence) — a narrow map, no shuffle — and fractional
+    membership by key hash (stable under growth)."""
+    from etl_spark.ops.sample import mix_sources
+
+    d = _t(spark, sf_dir, "documents")
+    out = mix_sources(
+        d, "doc_id", "source",
+        {"src0": 2.5, "src1": 0.25, "src2": 1.0, "src3": 0.8},
+        salt="mixv1",
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("epoch").alias("sum_epoch"),
+    )
+
+
+_SQL_SOURCE_MIX = """
+WITH c AS (
+  SELECT source, doc_id,
+    CASE source
+      WHEN 'src0' THEN 2 + (('0x' || SUBSTR(MD5('mixv1|mix|src0:' || doc_id::VARCHAR), 1, 8))::BIGINT < 2147483648)::INT
+      WHEN 'src1' THEN (('0x' || SUBSTR(MD5('mixv1|mix|src1:' || doc_id::VARCHAR), 1, 8))::BIGINT < 1073741824)::INT
+      WHEN 'src2' THEN 1
+      WHEN 'src3' THEN (('0x' || SUBSTR(MD5('mixv1|mix|src3:' || doc_id::VARCHAR), 1, 8))::BIGINT < 3435973836)::INT
+      ELSE 0 END AS n
+  FROM documents)
+SELECT source, SUM(n)::BIGINT AS n_rows,
+       COUNT(*) FILTER (WHERE n > 0) AS n_docs,
+       SUM(n * (n + 1) // 2)::BIGINT AS sum_epoch
+FROM c WHERE n > 0 GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# small operator-parity promotions (shift / row_sum / set ops)
+# ---------------------------------------------------------------------------
+
+
+def q_shift_lag(spark, sf_dir):
+    from etl_spark.ops import shift
+
+    ev = _t(spark, sf_dir, "events")
+    out = shift(ev, ["user_id"], "event_id", "value", periods=1, target="prev_value")
+    return out.select(
+        "user_id", "event_id", _r("value", 6).alias("value"),
+        _r("prev_value", 6).alias("prev_value"),
+    )
+
+
+_SQL_SHIFT = """
+SELECT user_id, event_id, FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
+       FLOOR((LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)) * 1e6 + 0.5) / 1e6 AS prev_value
+FROM events
+"""
+
+
+def q_row_sum(spark, sf_dir):
+    from etl_spark.ops.relational import row_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = row_sum(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], "row_total")
+    return out.select(
+        "l_orderkey", "l_linenumber", _r("row_total", 4).alias("row_total")
+    )
+
+
+_SQL_ROW_SUM = """
+SELECT l_orderkey, l_linenumber,
+       FLOOR((COALESCE(l_quantity, 0) + COALESCE(l_extendedprice, 0)
+              + COALESCE(l_discount, 0) + COALESCE(l_tax, 0)) * 1e4 + 0.5) / 1e4 AS row_total
+FROM lineitem
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """intersect / except as user-set algebra over event types."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.intersect(purchases).withColumn("set_op", F.lit("click_and_purchase"))
+    only = clicks.exceptAll(purchases).withColumn("set_op", F.lit("click_only"))
+    return both.unionByName(only)
+
+
+_SQL_SET_OPS = """
+SELECT user_id, 'click_and_purchase' AS set_op FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'click_only' AS set_op FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -1477,6 +1819,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "repetition": q_repetition,
         "token_counts": q_token_counts,
+        "table_changes": q_table_changes,
+        "backport_events": q_backport_events,
+        "incremental_sync": q_incremental_sync,
+        "line_dedup": q_line_dedup,
+        "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
+        "source_mix": q_source_mix,
+        "shift_lag": q_shift_lag,
+        "row_sum": q_row_sum,
+        "set_ops": q_set_ops,
     }
 
 
@@ -1698,4 +2050,14 @@ SELECT doc_id,
        ARRAY_LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens
 FROM documents
 """,
+        "table_changes": _SQL_TABLE_CHANGES,
+        "backport_events": _SQL_BACKPORT,
+        "incremental_sync": _SQL_INCREMENTAL_SYNC,
+        "line_dedup": _SQL_LINE_DEDUP,
+        "contamination": _SQL_CONTAMINATION,
+        "pii_redact": _SQL_PII_REDACT,
+        "source_mix": _SQL_SOURCE_MIX,
+        "shift_lag": _SQL_SHIFT,
+        "row_sum": _SQL_ROW_SUM,
+        "set_ops": _SQL_SET_OPS,
     }

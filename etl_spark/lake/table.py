@@ -51,6 +51,7 @@ from etl_spark.lake.schema import SchemaEvolutionError, evolve
 
 _BUCKET = "_b"
 _DELETED = "_deleted"
+_CV = "_cv"
 
 
 def _max_opt(a, b):
@@ -185,6 +186,16 @@ class LakeTable:
             # (out-of-order safety — SURVEY.md hard part #1). Reads filter
             # them; expire/compaction may purge them past a watermark.
             schema = T.StructType(list(schema.fields) + [T.StructField(_DELETED, T.BooleanType(), True)])
+        if _CV not in schema.names:
+            # commit-version stamp: every row records the table version
+            # whose merge LAST CHANGED it (winners coming from a staged
+            # batch get the new version; carried-forward rows keep
+            # theirs — compaction/rebucket preserve it). This is what
+            # makes `changes_since` sound under out-of-order delivery:
+            # a late event with an old seq that still wins stamps the
+            # row with the NEW commit version, so a seq watermark is
+            # never consulted (Delta CDF / Iceberg changelog analog).
+            schema = T.StructType(list(schema.fields) + [T.StructField(_CV, T.LongType(), True)])
         m = {
             "version": 0,
             "parent": None,
@@ -268,8 +279,14 @@ class LakeTable:
                 out = out.unionByName(p)
         if deltas:
             out = self._resolve_latest(out, m["seq_col"], m["key_cols"])
-        if not include_tombstones and _DELETED in out.columns:
-            out = out.filter(~F.coalesce(F.col(_DELETED), F.lit(False))).drop(_DELETED)
+        if not include_tombstones:
+            # user-facing snapshot: hide tombstones AND internal columns
+            # (include_tombstones=True is the raw physical read used by
+            # the engine's own rewrite paths + the changelog)
+            if _DELETED in out.columns:
+                out = out.filter(~F.coalesce(F.col(_DELETED), F.lit(False))).drop(_DELETED)
+            if _CV in out.columns:
+                out = out.drop(_CV)
         return out
 
     def read_keys(self, keys: list[tuple]) -> DataFrame:
@@ -414,10 +431,14 @@ class LakeTable:
             if d.startswith(f"{_BUCKET}="):
                 b = int(d.split("=")[1])
                 out[str(b)] = {"path": os.path.join(data_dir, d)}
-        # per-bucket live/tombstone counts: the write layout is
-        # partitioned by bucket, so the count-back scans ONLY the
-        # boolean tombstone column + the partition value — not the
-        # payload (was a full re-read of every written byte).
+        # per-bucket stats: the write layout is partitioned by bucket,
+        # so the count-back scans ONLY the tombstone/seq/_cv columns +
+        # the partition value — not the payload. Besides live/tombstone
+        # counts it records min/max seq and max commit-version per
+        # bucket: data-skipping stats that let `read_since` and
+        # `changes_since` prune untouched buckets from the manifest
+        # alone (Iceberg column-stats pruning, reduced to the two
+        # columns the engine's own access patterns need).
         if out:
             back = self.spark.read.parquet(data_dir)
             dead = (
@@ -425,22 +446,32 @@ class LakeTable:
                 if _DELETED in back.columns
                 else F.lit(False)
             )
+            seq_col = self.seq_col
+            aggs = [
+                F.count(F.when(~F.col("d"), 1)).alias("live"),
+                F.count(F.when(F.col("d"), 1)).alias("dead"),
+            ]
+            sel = [F.col(_BUCKET).alias("b"), dead.alias("d")]
+            if seq_col in back.columns:
+                sel.append(F.col(seq_col).alias("__seq"))
+                aggs += [F.min("__seq").alias("mn"), F.max("__seq").alias("mx")]
+            if _CV in back.columns:
+                sel.append(F.col(_CV).alias("__cv"))
+                aggs.append(F.max("__cv").alias("cv"))
             counts = {
-                int(r["b"]): (r["live"], r["dead"])
-                for r in back.select(F.col(_BUCKET).alias("b"), dead.alias("d"))
-                .groupBy("b")
-                .agg(
-                    F.count(F.when(~F.col("d"), 1)).alias("live"),
-                    F.count(F.when(F.col("d"), 1)).alias("dead"),
-                )
-                .collect()
+                int(r["b"]): r.asDict()
+                for r in back.select(*sel).groupBy("b").agg(*aggs).collect()
             }
         else:
             counts = {}
         for b, ent in out.items():
-            live, dead = counts.get(int(b), (0, 0))
-            ent["rows"] = int(live)
-            ent["tombstones"] = int(dead)
+            r = counts.get(int(b), {})
+            ent["rows"] = int(r.get("live", 0))
+            ent["tombstones"] = int(r.get("dead", 0))
+            if r.get("mx") is not None:
+                ent["min_seq"], ent["max_seq"] = int(r["mn"]), int(r["mx"])
+            if r.get("cv") is not None:
+                ent["max_cv"] = int(r["cv"])
         return out
 
     def _bucket_keys_expr(self, schema: T.StructType):
@@ -484,7 +515,7 @@ class LakeTable:
             return {"version": m["version"], "epoch": epoch, "skipped": True}
 
         seq = self.seq_col
-        internal = {seq, _DELETED}
+        internal = {seq, _DELETED, _CV}
         # --- schema evolution (add/widen) from the staged batch ---
         incoming_user = T.StructType(
             [f for f in source.schema.fields if f.name not in (op_col, seq_col_src) and f.name not in internal]
@@ -494,7 +525,9 @@ class LakeTable:
         new_user, changed = evolve(cur_user, incoming_user)
         new_schema = T.StructType(
             list(new_user.fields)
-            + [T.StructField(seq, T.LongType(), True), T.StructField(_DELETED, T.BooleanType(), True)]
+            + [T.StructField(seq, T.LongType(), True),
+               T.StructField(_DELETED, T.BooleanType(), True),
+               T.StructField(_CV, T.LongType(), True)]
         )
         schemas = list(m["schemas"])
         if changed:
@@ -518,6 +551,11 @@ class LakeTable:
         # the key columns only (a cheap scan), while caching the full
         # payload (content strings) measurably thrashes the heap.
         src = src.select(*aligned).withColumn(_BUCKET, self._bucket_expr(self.key_cols))
+        # commit-version stamp: staged rows carry the version this merge
+        # will commit; target rows keep theirs. The latest-wins window
+        # keeps whole rows, so the winner's stamp rides along for free —
+        # a row's _cv > V  <=>  its state changed after version V.
+        src = src.withColumn(_CV, F.lit(m["version"] + 1).cast("long"))
         if m.get("write_mode", "cow") == "mor":
             return self._merge_mor(m, src, new_schema, schemas, sid, epoch, extra_manifest)
         return self._merge_resolve(m, src, new_schema, schemas, sid, epoch, extra_manifest)
@@ -554,12 +592,26 @@ class LakeTable:
         for d in os.listdir(delta_dir):
             if d.startswith(f"{_BUCKET}="):
                 out[d.split("=")[1]] = {"path": os.path.join(delta_dir, d)}
-        # batch max seq from the just-written delta: a column-pruned
-        # scan of the seq column only (keeps ingest O(batch))
+        # per-bucket seq stats from the just-written delta: a
+        # column-pruned scan of seq + the partition value only (keeps
+        # ingest O(batch)); every delta row is new, so max_cv == v
         if out:
-            bmx = (
-                self.spark.read.parquet(delta_dir).select(F.max(F.col(seq))).first()[0]
-            )
+            stats = {
+                int(r["b"]): r
+                for r in self.spark.read.parquet(delta_dir)
+                .select(F.col(_BUCKET).alias("b"), F.col(seq).alias("__seq"))
+                .groupBy("b")
+                .agg(F.min("__seq").alias("mn"), F.max("__seq").alias("mx"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for b, ent in out.items():
+                r = stats.get(int(b))
+                if r is not None and r["mx"] is not None:
+                    ent["min_seq"], ent["max_seq"] = int(r["mn"]), int(r["mx"])
+                    ent["rows"] = int(r["n"])
+                ent["max_cv"] = v
+            bmx = max((r["mx"] for r in stats.values() if r["mx"] is not None), default=None)
         else:
             bmx = None
         m2 = {
@@ -772,6 +824,135 @@ class LakeTable:
               "committed_at": time.time()}
         return self._commit(m2)
 
+    # ---------- changelog / incremental read ----------
+
+    def _user_fields(self, m: dict) -> list[T.StructField]:
+        internal = {m["seq_col"], _DELETED, _CV}
+        cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
+        return [f for f in cur.fields if f.name not in internal]
+
+    def _changed_buckets(self, m_from: dict, m_to: dict) -> set[int]:
+        """Buckets that can hold rows changed after ``m_from``'s
+        version, decided from the two manifests alone (no data IO):
+        a bucket whose base-file pointer is unchanged is untouched by
+        construction; a rewritten bucket is pruned anyway when its
+        ``max_cv`` stat proves every row it holds predates ``m_from``
+        (so compaction/rebucket/purge rewrites don't defeat pruning).
+        MOR deltas carry ``max_cv`` per entry and prune the same way."""
+        v_from = m_from["version"]
+        base_from = {b: ent["path"] for b, ent in m_from["buckets"].items()}
+        same_layout = m_from["n_buckets"] == m_to["n_buckets"]
+        changed: set[int] = set()
+        for b, ent in m_to["buckets"].items():
+            if same_layout and base_from.get(b) == ent["path"]:
+                continue  # pointer-identical: provably untouched
+            if ent.get("max_cv") is not None and ent["max_cv"] <= v_from:
+                continue  # rewritten, but stats prove no newer row
+            changed.add(int(b))
+        for d in m_to.get("deltas", []):
+            for b, ent in d["buckets"].items():
+                if ent.get("max_cv") is not None and ent["max_cv"] <= v_from:
+                    continue
+                changed.add(int(b))
+        return changed
+
+    def changes_since(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change feed between two snapshots — the Delta-CDF / Iceberg
+        changelog analog, and the edge that lets lake tables chain into
+        incremental pipelines (see etl_spark.lake.incremental; the
+        reference's step-DAG dirty propagation, etl/steps/__init__.py:419-435,
+        re-expressed as data flow).
+
+        Returns the NET change per key: user columns + seq +
+        ``_change_type`` ('upsert' | 'delete'), one row per key whose
+        state changed strictly after version ``v_from``. Soundness does
+        NOT rely on seq ordering: every merge stamps the rows it
+        changes with its commit version (``_cv``), so a late-arriving
+        out-of-order event that still wins is detected even though its
+        seq predates ``v_from``'s max_seq. Cost is O(changed buckets):
+        untouched buckets are pruned by manifest pointer equality, and
+        rewritten-but-unchanged buckets (compaction, rebucket) by their
+        ``max_cv`` stat; the ``_cv > v_from`` row filter is pushed to
+        the parquet scan.
+
+        Delivery contract: at-least-once per key (a content-identical
+        re-merge without an epoch fence can re-stamp a row); consumers
+        dedup naturally by merging keyed on (key, seq). Physical
+        removals (``delete_where``, ``purge_tombstones`` past the
+        consumer's watermark) are maintenance operations and do NOT
+        emit change rows — consume before purging, exactly like the
+        streaming tombstone watermark."""
+        m_to = self.manifest(v_to)
+        m_from = self.manifest(v_from)  # raises if expired — the feed's horizon
+        changed = self._changed_buckets(m_from, m_to)
+        user = self._user_fields(m_to)
+        seq = m_to["seq_col"]
+        if not changed:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(user + [T.StructField(seq, T.LongType(), True),
+                                     T.StructField("_change_type", T.StringType(), False)]),
+            )
+        df = self.read(version=m_to["version"], buckets=changed, include_tombstones=True)
+        df = df.filter(F.col(_CV) > F.lit(v_from))
+        dead = F.coalesce(F.col(_DELETED), F.lit(False))
+        return df.select(
+            *[F.col(f.name) for f in user],
+            F.col(seq),
+            F.when(dead, F.lit("delete")).otherwise(F.lit("upsert")).alias("_change_type"),
+        )
+
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Classified change feed: like ``changes_since`` but splits
+        upserts into insert vs update_postimage and suppresses
+        deletes of keys that were not live at ``v_from`` (re-deletes).
+        Costs one extra keyed join — against the OLD snapshot restricted
+        to the same changed buckets (bucket ids are comparable unless a
+        rebucket happened in between, in which case the old side falls
+        back to a full read)."""
+        m_to = self.manifest(v_to)
+        m_from = self.manifest(v_from)
+        changed = self._changed_buckets(m_from, m_to)
+        keys = m_to["key_cols"]
+        new = self.changes_since(v_from, v_to)
+        old_buckets = changed if m_from["n_buckets"] == m_to["n_buckets"] else None
+        old_live = (
+            self.read(version=v_from, buckets=old_buckets)
+            .select(*[F.col(k) for k in keys], F.lit(True).alias("__was_live"))
+        )
+        j = new.join(old_live, keys, "left")
+        was = F.coalesce(F.col("__was_live"), F.lit(False))
+        kind = (
+            F.when((F.col("_change_type") == "delete") & was, F.lit("delete"))
+            .when((F.col("_change_type") == "upsert") & was, F.lit("update_postimage"))
+            .when(F.col("_change_type") == "upsert", F.lit("insert"))
+        )
+        return (
+            j.withColumn("_change_type", kind)
+            .filter(F.col("_change_type").isNotNull())
+            .drop("__was_live")
+        )
+
+    def backport_events(self, version: int | None = None) -> DataFrame:
+        """The reverse path (the reference's backport,
+        apps/backport/backport.py:35-70, re-imagined for CDC): emit a
+        WAL-shaped event frame (user columns + op + seq) that, replayed
+        through ``merge_cdc`` into an empty table, reproduces this
+        snapshot EXACTLY — live rows become 'upsert' events at their
+        winning seq, retained tombstones become 'delete' events at
+        theirs (so out-of-order safety survives the round trip). This
+        is how a table re-seeds an event log, bootstraps a replica, or
+        migrates to a new layout through the normal ingest path."""
+        m = self.manifest(version)
+        raw = self.read(version=version, include_tombstones=True)
+        user = self._user_fields(m)
+        dead = F.coalesce(F.col(_DELETED), F.lit(False))
+        return raw.select(
+            *[F.col(f.name) for f in user],
+            F.when(dead, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+            F.col(m["seq_col"]).cast("long").alias("seq"),
+        )
+
     # ---------- metadata (the reference's YAML metadata patching,
     # lib/catalog/owid/catalog/datasets.py:186-204, as table/column
     # properties committed atomically like any other version) ----------
@@ -832,17 +1013,28 @@ class LakeTable:
         if out:
             back = self.spark.read.parquet(data_dir)
             dead = F.coalesce(F.col(_DELETED), F.lit(False))
+            seq_col = self.seq_col
+            sel = [F.col(_BUCKET).alias("b"), dead.alias("d"),
+                   F.col(seq_col).alias("__seq")]
+            aggs = [
+                F.count(F.when(~F.col("d"), 1)).alias("live"),
+                F.count(F.when(F.col("d"), 1)).alias("dead"),
+                F.min("__seq").alias("mn"), F.max("__seq").alias("mx"),
+            ]
+            if _CV in back.columns:
+                sel.append(F.col(_CV).alias("__cv"))
+                aggs.append(F.max("__cv").alias("cv"))
             counts = {
-                int(r["b"]): (r["live"], r["dead"])
-                for r in back.select(F.col(_BUCKET).alias("b"), dead.alias("d"))
-                .groupBy("b").agg(
-                    F.count(F.when(~F.col("d"), 1)).alias("live"),
-                    F.count(F.when(F.col("d"), 1)).alias("dead"),
-                ).collect()
+                int(r["b"]): r.asDict()
+                for r in back.select(*sel).groupBy("b").agg(*aggs).collect()
             }
             for b, ent in out.items():
-                live, deadn = counts.get(int(b), (0, 0))
-                ent["rows"], ent["tombstones"] = int(live), int(deadn)
+                r = counts.get(int(b), {})
+                ent["rows"], ent["tombstones"] = int(r.get("live", 0)), int(r.get("dead", 0))
+                if r.get("mx") is not None:
+                    ent["min_seq"], ent["max_seq"] = int(r["mn"]), int(r["mx"])
+                if r.get("cv") is not None:
+                    ent["max_cv"] = int(r["cv"])
         m2 = {**m, "version": v, "parent": m["version"], "n_buckets": n_buckets,
               "buckets": out, "committed_at": time.time(), "note": f"rebucket->{n_buckets}"}
         return self._commit(m2)

@@ -43,6 +43,52 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") ->
     return df.filter(hash_bucket(F.col(key_col), salt) < F.lit(threshold))
 
 
+def mix_sources(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic source mixing: resample each group to ``weight``
+    epochs (LM training-mix style — weight 2.5 means every row of the
+    group appears twice and ~half the rows a third time; weight 0.25
+    keeps ~a quarter of the group; groups absent from ``weights`` are
+    dropped).
+
+    The integer part replicates via ``explode(sequence(...))`` (a
+    narrow map — no shuffle: replication multiplies partition contents
+    in place); the fractional part admits keys whose hash falls under
+    the fraction threshold, so membership is reproducible and stable
+    under data growth, like every sampler here. Adds ``epoch``
+    (1-based copy index) to distinguish replicas downstream."""
+    n_copies = None
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {name!r}")
+        whole = int(w)
+        frac = w - whole
+        extra = (
+            (hash_bucket(F.col(key_col), f"{salt}|mix|{name}") < F.lit(int(frac * _SPACE)))
+            .cast("int")
+            if frac > 0
+            else F.lit(0)
+        )
+        cond = F.col(group_col) == F.lit(name)
+        n_copies = (
+            F.when(cond, F.lit(whole) + extra)
+            if n_copies is None
+            else n_copies.when(cond, F.lit(whole) + extra)
+        )
+    n_copies = F.lit(0) if n_copies is None else n_copies.otherwise(F.lit(0))
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )
+
+
 def hash_split(
     df: DataFrame, key_col: str, weights: dict[str, float], salt: str = ""
 ) -> DataFrame:

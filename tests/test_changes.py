@@ -1,0 +1,296 @@
+"""Changelog (changes_since/changes), backport round-trip, and
+incremental derived-table sync.
+
+The change feed is the engine's re-expression of the reference's
+dirty-propagation DAG (etl/steps/__init__.py:419-435) as data flow:
+downstream tables consume upstream changes instead of rebuilding.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.lake import LakeTable
+from etl_spark.lake.incremental import SYNC_PROP, change_feed, sync
+from etl_spark.ops.diff import frames_equal, table_checksum
+
+
+def _schema():
+    return T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+        ]
+    )
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), False),
+                T.StructField("v", T.IntegerType(), True),
+                T.StructField("op", T.StringType(), False),
+                T.StructField("seq", T.LongType(), False),
+            ]
+        ),
+    )
+
+
+def _changes_dict(df):
+    return {r["k"]: (r["v"], r["_change_type"]) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# changes_since
+# ---------------------------------------------------------------------------
+
+
+def test_changes_since_basic(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2), ("c", 3, "insert", 3)]))
+    v1 = t.current_version()
+    t.merge_cdc(_src(spark, [("a", 10, "update", 4), ("b", None, "delete", 5), ("d", 4, "insert", 6)]))
+    got = _changes_dict(t.changes_since(v1))
+    assert got == {"a": (10, "upsert"), "b": (None, "delete"), "d": (4, "upsert")}
+    # full feed from v0 is the whole state (bootstrap == steady state)
+    assert _changes_dict(t.changes_since(0))["c"] == (3, "upsert")
+
+
+def test_changes_since_out_of_order_winner(spark, tmp_path):
+    """A late event whose seq is BELOW the table's max_seq at v_from
+    but still wins its key must be detected — the case a seq-watermark
+    changelog silently drops; the commit-version stamp catches it."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 3), ("z", 9, "insert", 100)]))
+    v1 = t.current_version()
+    assert t.manifest()["max_seq"] == 100
+    # late event for 'a': seq 7 < table max_seq 100, but > a's seq 3 -> wins
+    t.merge_cdc(_src(spark, [("a", 2, "update", 7)]))
+    got = _changes_dict(t.changes_since(v1))
+    assert got == {"a": (2, "upsert")}
+
+
+def test_changes_since_losing_event_not_emitted(spark, tmp_path):
+    """An out-of-order event that LOSES (older seq than the current
+    winner) must not change state and must not appear in the feed —
+    even though its merge rewrote the bucket."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=1)
+    t.merge_cdc(_src(spark, [("a", 5, "insert", 10), ("b", 1, "insert", 1)]))
+    v1 = t.current_version()
+    t.merge_cdc(_src(spark, [("a", 99, "update", 4)]))  # seq 4 < 10: loses
+    got = _changes_dict(t.changes_since(v1))
+    assert got == {}
+
+
+def test_changed_bucket_pruning(spark, tmp_path):
+    """Untouched buckets are pruned by manifest pointer equality — no
+    data IO decides it."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=64)
+    t.merge_cdc(_src(spark, [(f"k{i}", i, "insert", i) for i in range(200)]))
+    v1 = t.current_version()
+    t.merge_cdc(_src(spark, [("k0", 999, "update", 1000)]))
+    m_from, m_to = t.manifest(v1), t.manifest()
+    changed = t._changed_buckets(m_from, m_to)
+    assert len(changed) == 1
+    assert _changes_dict(t.changes_since(v1)) == {"k0": (999, "upsert")}
+
+
+def test_compact_and_rebucket_do_not_fake_changes(spark, tmp_path):
+    """Compaction and rebucketing rewrite every file, but preserve the
+    commit-version stamp — the max_cv bucket stat prunes the rewritten
+    buckets and the feed stays empty."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4, write_mode="mor"
+    )
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]))
+    t.merge_cdc(_src(spark, [("a", 3, "update", 3)]))
+    v = t.current_version()
+    t.compact()
+    assert t._changed_buckets(t.manifest(v), t.manifest()) == set()
+    assert t.changes_since(v).count() == 0
+    t.rebucket(8)
+    assert t.changes_since(v).count() == 0
+    # and changes BEFORE the maintenance are still fully visible after it
+    assert _changes_dict(t.changes_since(1)) == {"a": (3, "upsert")}
+
+
+def test_changes_since_mor_deltas(spark, tmp_path):
+    """MOR: the feed resolves base+deltas and emits net winners only."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4, write_mode="mor"
+    )
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]))
+    v1 = t.current_version()
+    t.merge_cdc(_src(spark, [("a", 5, "update", 5)]))
+    t.merge_cdc(_src(spark, [("a", 7, "update", 7), ("b", None, "delete", 8)]))
+    got = _changes_dict(t.changes_since(v1))
+    assert got == {"a": (7, "upsert"), "b": (None, "delete")}
+
+
+def test_changes_classified(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2), ("x", 0, "delete", 3)]))
+    v1 = t.current_version()
+    t.merge_cdc(
+        _src(
+            spark,
+            [
+                ("a", 10, "update", 4),   # live before -> update_postimage
+                ("b", None, "delete", 5),  # live before -> delete
+                ("c", 3, "insert", 6),     # absent before -> insert
+                ("x", None, "delete", 7),  # tombstone before -> suppressed re-delete
+            ],
+        )
+    )
+    got = {r["k"]: r["_change_type"] for r in t.changes(v1).collect()}
+    assert got == {"a": "update_postimage", "b": "delete", "c": "insert"}
+
+
+def test_changes_since_expired_horizon_raises(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    for i in range(5):
+        t.merge_cdc(_src(spark, [("a", i, "update", i + 1)]))
+    t.expire_versions(keep_last=1)
+    import os
+
+    os.unlink(os.path.join(t._meta_dir, "v1.json"))
+    with pytest.raises(FileNotFoundError):
+        t.changes_since(1)
+
+
+# ---------------------------------------------------------------------------
+# backport (table -> event log round trip)
+# ---------------------------------------------------------------------------
+
+
+def test_backport_round_trip(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2), ("c", 3, "insert", 3)]))
+    t.merge_cdc(_src(spark, [("a", 10, "update", 4), ("b", None, "delete", 5)]))
+
+    events = t.backport_events()
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), _schema(), ["k"], n_buckets=8)
+    t2.merge_cdc(events)
+
+    assert table_checksum(t.read()) == table_checksum(t2.read())
+    # tombstones survive the round trip at their original seq: a stale
+    # out-of-order event replayed later still loses in the replica
+    dead = {
+        r["k"]: r[t2.seq_col]
+        for r in t2.read(include_tombstones=True).filter(F.col("_deleted")).collect()
+    }
+    assert dead == {"b": 5}
+    t2.merge_cdc(_src(spark, [("b", 77, "update", 3)]))  # seq 3 < tombstone's 5
+    assert "b" not in {r["k"] for r in t2.read().collect()}
+
+
+# ---------------------------------------------------------------------------
+# incremental derived tables
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_sync_matches_full_recompute(spark, tmp_path):
+    src = LakeTable.create(spark, str(tmp_path / "src"), _schema(), ["k"], n_buckets=4)
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), _schema(), ["k"], n_buckets=4)
+
+    def check():
+        assert frames_equal(dst.read(), src.read(), keys=["k"])
+
+    src.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]))
+    s = sync(src, dst)
+    assert s["skipped"] is False
+    check()
+
+    src.merge_cdc(_src(spark, [("a", 10, "update", 3), ("c", 5, "insert", 4)]))
+    src.merge_cdc(_src(spark, [("b", None, "delete", 5)]))
+    sync(src, dst)
+    check()
+
+    # no-op sync is skipped (nothing to read, nothing merged)
+    assert sync(src, dst)["skipped"] is True
+
+    # delete propagates as a real tombstone in dst
+    assert "b" not in {r["k"] for r in dst.read().collect()}
+
+
+def test_incremental_sync_only_merges_changed_keys(spark, tmp_path):
+    src = LakeTable.create(spark, str(tmp_path / "src"), _schema(), ["k"], n_buckets=32)
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), _schema(), ["k"], n_buckets=32)
+    src.merge_cdc(_src(spark, [(f"k{i}", i, "insert", i) for i in range(200)]))
+    sync(src, dst)
+    src.merge_cdc(_src(spark, [("k0", 999, "update", 1000)]))
+    s = sync(src, dst)
+    # the downstream merge touched exactly the one bucket the change hit
+    assert len(s["dirty_buckets"]) == 1
+    assert frames_equal(dst.read(), src.read(), keys=["k"])
+
+
+def test_incremental_sync_with_transform(spark, tmp_path):
+    """Derived table = filtered + computed projection of upstream,
+    maintained incrementally; equals the same transform run on the full
+    upstream state."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), _schema(), ["k"], n_buckets=4)
+    dschema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+            T.StructField("v2", T.IntegerType(), True),
+        ]
+    )
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), dschema, ["k"], n_buckets=4)
+
+    def xf(feed):
+        # deletes must flow through even when the upsert filter would
+        # drop them (v is NULL on tombstoned rows)
+        return feed.filter((F.col("op") == "delete") | (F.col("v") % 2 == 0)).withColumn(
+            "v2", F.col("v") * 2
+        )
+
+    src.merge_cdc(_src(spark, [("a", 2, "insert", 1), ("b", 3, "insert", 2), ("c", 4, "insert", 3)]))
+    sync(src, dst, transform=xf)
+    assert {r["k"]: r["v2"] for r in dst.read().collect()} == {"a": 4, "c": 8}
+
+    src.merge_cdc(_src(spark, [("a", 6, "update", 4), ("c", None, "delete", 5)]))
+    sync(src, dst, transform=xf)
+    assert {r["k"]: r["v2"] for r in dst.read().collect()} == {"a": 12}
+
+
+def test_incremental_sync_crash_window_converges(spark, tmp_path):
+    """Crash between merge and the property advance: the rerun re-reads
+    a superset feed and re-applies it — idempotent merge converges."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), _schema(), ["k"], n_buckets=4)
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), _schema(), ["k"], n_buckets=4)
+    src.merge_cdc(_src(spark, [("a", 1, "insert", 1)]))
+    sync(src, dst)
+    src.merge_cdc(_src(spark, [("a", 2, "update", 2)]))
+    v_applied = src.current_version()
+    # simulate the crash: merge applied, property NOT advanced
+    dst.merge_cdc(change_feed(src, int(dst.properties[SYNC_PROP]), v_applied),
+                  epoch=f"sync_v{v_applied}")
+    before = table_checksum(dst.read())
+    src.merge_cdc(_src(spark, [("b", 9, "insert", 3)]))
+    s = sync(src, dst)  # superset feed: re-applies a@2 + applies b@9
+    assert s["skipped"] is False
+    assert frames_equal(dst.read(), src.read(), keys=["k"])
+    assert table_checksum(dst.read()) != before  # b landed
+
+
+# ---------------------------------------------------------------------------
+# manifest stats
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_stats_recorded(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 10), ("b", 2, "insert", 20)]))
+    m = t.manifest()
+    ents = list(m["buckets"].values())
+    assert ents, "no buckets written"
+    seqs = set()
+    for e in ents:
+        assert e["max_cv"] == m["version"]
+        assert e["min_seq"] <= e["max_seq"]
+        seqs.add((e["min_seq"], e["max_seq"]))
+    assert max(mx for _, mx in seqs) == 20

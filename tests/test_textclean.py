@@ -1,0 +1,124 @@
+"""Line-level dedup, contamination screening, PII redaction, source
+mixing — corpus-cleaning ops (training-data family, per the brief)."""
+
+from pyspark.sql import functions as F
+
+from etl_spark.ops.sample import mix_sources
+from etl_spark.text.contamination import contamination, word_shingles
+from etl_spark.text.lines import (
+    boilerplate_lines,
+    split_lines,
+    strip_boilerplate,
+    word_chunk_lines,
+)
+from etl_spark.text.redact import PII_PATTERNS, redact
+
+HEADER = "Copyright 2024 Example Corp\nLicensed under Apache-2.0"
+
+
+def _docs(spark):
+    rows = [
+        (0, f"{HEADER}\nalpha beta\ngamma"),
+        (1, f"{HEADER}\ndelta\nepsilon zeta"),
+        (2, f"{HEADER}\nalpha beta\neta"),
+        (3, "totally unique\ndocument three"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_lines_found(spark):
+    lines = split_lines(_docs(spark), "doc_id", "text")
+    b = boilerplate_lines(lines, "doc_id", min_docs=3)
+    # both header lines occur in docs 0,1,2; 'alpha beta' only in 0,2
+    assert b.count() == 2
+    b2 = boilerplate_lines(lines, "doc_id", min_docs=2)
+    assert b2.count() == 3
+
+
+def test_strip_boilerplate_preserves_order(spark):
+    out = strip_boilerplate(_docs(spark), "doc_id", "text", min_docs=3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["text"] == "alpha beta\ngamma"
+    assert got[0]["n_lines"] == 4 and got[0]["n_removed"] == 2
+    assert got[1]["text"] == "delta\nepsilon zeta"
+    assert got[3]["text"] == "totally unique\ndocument three"
+    assert got[3]["n_removed"] == 0
+
+
+def test_word_chunk_segmentation(spark):
+    df = spark.createDataFrame([(0, "a b c d e f g h i j")], "doc_id long, text string")
+    chunks = word_chunk_lines(df, "doc_id", "text", n_words=4)
+    got = [r["line"] for r in chunks.orderBy("pos").collect()]
+    assert got == ["a b c d", "e f g h", "i j"]
+    # chunk-mode strip round-trips through the same segmentation
+    out = strip_boilerplate(df, "doc_id", "text", min_docs=2, n_words=4)
+    assert out.first()["text"] == "a b c d e f g h i j"
+
+
+def test_contamination_detects_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "prefix words what is the capital of france paris obviously suffix"),
+            (1, "completely unrelated text about spark shuffles and joins here"),
+            (2, "what is the capital of france paris obviously"),  # verbatim
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_contaminated_ngrams"] for r in
+           contamination(corpus, bench, "doc_id", "text", n=5).collect()}
+    assert 2 in got and 0 in got and 1 not in got
+    # the verbatim copy shares every benchmark shingle
+    n_bench = word_shingles(bench, "doc_id", "text", n=5).select("shingle_key").distinct().count()
+    assert got[2] == n_bench
+    assert got[0] >= n_bench  # superstring: all benchmark shingles + boundary ones it also shares
+
+
+def test_contamination_short_doc(spark):
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(0, "tiny doc"), (1, "other")], "doc_id long, text string")
+    got = {r["doc_id"] for r in contamination(corpus, bench, "doc_id", "text", n=8).collect()}
+    assert got == {0}
+
+
+def test_redact_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail alice@example.com or 10.0.0.1 acct 123456789 key sk-abcdef123456 ok"),
+            (1, "clean text, short number 123 stays"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in redact(df, "text").collect()}
+    assert out[0]["text"] == "mail [email] or [ipv4] acct [digits] key [secret] ok"
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_digits"], out[0]["n_secret"]) == (1, 1, 1, 1)
+    assert out[1]["text"] == "clean text, short number 123 stays"
+    assert out[1]["n_digits"] == 0
+    # counts are taken on the ORIGINAL text: the email's digits never
+    # leak into the digit-run count (word-boundary + order contract)
+    assert set(PII_PATTERNS) == {"email", "ipv4", "secret", "digits"}
+
+
+def test_mix_sources_replication_and_stability(spark):
+    rows = [(i, "a" if i < 100 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = mix_sources(df, "k", "src", {"a": 2.5, "b": 0.25}, salt="s1")
+    by_src = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert 200 <= by_src["a"] <= 300 and by_src["a"] > 230  # 2 full + ~half
+    assert 10 <= by_src["b"] <= 45
+    # every 'a' key appears at least twice (integer part is exact)
+    mins = out.filter(F.col("src") == "a").groupBy("k").count().agg(F.min("count")).first()[0]
+    assert mins == 2 or mins == 3
+    # deterministic: identical rerun, and membership stable under growth
+    out2 = mix_sources(df, "k", "src", {"a": 2.5, "b": 0.25}, salt="s1")
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+    grown = spark.createDataFrame(rows + [(1000 + i, "b") for i in range(50)], "k long, src string")
+    out3 = mix_sources(grown, "k", "src", {"a": 2.5, "b": 0.25}, salt="s1")
+    old_b = {r["k"] for r in out.filter(F.col("src") == "b").select("k").distinct().collect()}
+    new_b = {r["k"] for r in out3.filter((F.col("src") == "b") & (F.col("k") < 200)).select("k").distinct().collect()}
+    assert old_b == new_b
+    # unmentioned sources are dropped
+    assert mix_sources(df, "k", "src", {"a": 1.0}, salt="s1").filter(F.col("src") == "b").count() == 0
