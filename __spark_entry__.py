@@ -1550,6 +1550,67 @@ FROM (
 """
 
 
+def q_agg_view(spark, sf_dir):
+    """Incremental materialized aggregate (streaming-MV shape): a
+    count/sum-per-event_type table maintained purely from the source
+    table's classified change feed (preimage retraction — updates that
+    move a key between groups retract the old group), synced after
+    epoch 1 and again after epoch 3. Must equal the aggregate over the
+    full final state. Sum is an exact long (floor(value*100)) — float
+    sums would accumulate in a different order than the oracle."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.incremental import sync_agg
+    from etl_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    src_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("metric", T.LongType(), True),
+    ])
+    dst_schema = T.StructType([
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("sum_metric", T.LongType(), True),
+    ])
+    root = tempfile.mkdtemp(prefix="lakeagg_", dir=_scratch_dir())
+    src_t = LakeTable.create(
+        spark, root + "/src", src_schema, ["user_id"], seq_col="last_seq", n_buckets=8,
+    )
+    dst_t = LakeTable.create(
+        spark, root + "/dst", dst_schema, ["event_type"], seq_col="last_seq", n_buckets=4,
+    )
+    cdc = _events_as_cdc(ev).select(
+        "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("metric"),
+        "op", "seq",
+    )
+    mx = int(ev.agg(F.max("event_id")).first()[0] or 0)
+    step = mx // 3 + 1
+    for i in range(3):
+        src_t.merge_cdc(
+            cdc.filter((F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step)),
+            epoch=i,
+        )
+        if i in (0, 2):
+            sync_agg(src_t, dst_t, ["event_type"], ["metric"])
+    return dst_t.read().select("event_type", "n", "sum_metric")
+
+
+_SQL_AGG_VIEW = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS sum_metric
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus cleaning: line-level dedup, contamination, PII scrub, mixing
 # ---------------------------------------------------------------------------
@@ -1822,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes": q_table_changes,
         "backport_events": q_backport_events,
         "incremental_sync": q_incremental_sync,
+        "agg_view": q_agg_view,
         "line_dedup": q_line_dedup,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
@@ -2053,6 +2115,7 @@ FROM documents
         "table_changes": _SQL_TABLE_CHANGES,
         "backport_events": _SQL_BACKPORT,
         "incremental_sync": _SQL_INCREMENTAL_SYNC,
+        "agg_view": _SQL_AGG_VIEW,
         "line_dedup": _SQL_LINE_DEDUP,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,

@@ -10,17 +10,19 @@ state actually changed — O(changed keys) per sync instead of O(table)
 per rebuild, with the same end state as a full recompute (verified in
 tests/test_changes.py).
 
-Exactly-once: each sync merges under epoch ``sync_v{src_version}`` and
-only then advances the ``sync_from_version`` property on the target. A
-crash between the two leaves the property stale; the next sync re-reads
-a feed that is a superset of the crashed one and re-applies it — the
-merge is idempotent per content and the epoch fence absorbs true
-reruns, so the target converges to the same state (the engine's
-at-least-once + idempotent-apply contract).
+Exactly-once: each sync merges under epoch ``sync_v{src_version}``
+and commits the ``sync_from_version`` watermark in the SAME atomic
+manifest write as the data (``extra_manifest``), so data and watermark
+can never diverge. Row-level sync is additionally idempotent per
+content (a stale watermark written by an out-of-band merge just means
+a superset feed is re-applied and converges); aggregate sync
+(``sync_agg``) applies additive deltas and therefore RELIES on the
+atomic watermark — re-application would double-count.
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -69,6 +71,105 @@ def sync(
     feed = change_feed(src, v_from, v_to)
     if transform is not None:
         feed = transform(feed)
-    stats = dst.merge_cdc(feed, epoch=f"sync_v{v_to}")
-    dst.set_properties(**{SYNC_PROP: v_to})
+    # watermark rides in the same atomic manifest commit as the data —
+    # no separate property write, no crash window at all (the merge is
+    # idempotent anyway; this makes reruns cheap rather than merely safe)
+    stats = dst.merge_cdc(
+        feed,
+        epoch=f"sync_v{v_to}",
+        extra_manifest={"properties": {**dst.properties, SYNC_PROP: v_to}},
+    )
+    return {**stats, "skipped": False, "from_version": v_from, "to_version": v_to}
+
+
+def sync_agg(
+    src: LakeTable,
+    dst: LakeTable,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+) -> dict:
+    """Incremental materialized aggregate: maintain per-group ``n``
+    (live-row count) and ``sum_<col>`` columns in ``dst`` from
+    ``src``'s classified change feed — the streaming-materialized-view
+    shape (count/sum are the self-maintainable aggregates; min/max
+    would need re-scans on retraction and are deliberately absent).
+
+    Retraction is preimage-based: an update that MOVES a key between
+    groups contributes +post to the new group and -pre to the old one;
+    deletes retract the preimage. Groups reaching n=0 are deleted from
+    ``dst``. Cost per sync: the change feed (O(changed buckets) of
+    ``src``) + a read of the O(touched groups) buckets of ``dst``.
+
+    Exactly-once WITHOUT idempotent re-application: additive deltas
+    cannot be safely re-applied, so the sync watermark commits IN THE
+    SAME atomic manifest write as the merged data (``extra_manifest``)
+    — there is no crash window where data moved but the watermark
+    didn't. Single writer per ``dst`` assumed (as for any merge).
+
+    ``sum_cols`` should be exact types (long/decimal): float sums
+    would accumulate in a different order than a full recompute.
+    ``dst`` must be keyed by ``group_cols`` with columns
+    ``group_cols + [n] + [sum_<c> ...]``.
+    """
+    sum_cols = sum_cols or []
+    v_from = int(dst.properties.get(SYNC_PROP, 0))
+    v_to = src.current_version()
+    if v_to <= v_from:
+        return {"skipped": True, "from_version": v_from, "to_version": v_to}
+    ch = src.changes(v_from, v_to, preimage_cols=[*group_cols, *sum_cols])
+    t = F.col("_change_type")
+    adds = ch.filter(t != "delete").select(
+        *[F.col(g) for g in group_cols],
+        F.lit(1).alias("_dn"),
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"_d_{c}") for c in sum_cols],
+    )
+    subs = ch.filter(t != "insert").select(
+        *[F.col(f"_pre_{g}").alias(g) for g in group_cols],
+        F.lit(-1).alias("_dn"),
+        *[(-F.coalesce(F.col(f"_pre_{c}"), F.lit(0))).alias(f"_d_{c}") for c in sum_cols],
+    )
+    delta = (
+        adds.unionByName(subs)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_dn").alias("_dn"),
+            *[F.sum(f"_d_{c}").alias(f"_d_{c}") for c in sum_cols],
+        )
+    )
+    # bucket-pruned read of the current aggregate rows: the bucket set
+    # is computed by one tiny job over the delta's group keys (bounded
+    # by dst.n_buckets — same pattern as read_keys)
+    buckets = {
+        int(r["b"])
+        for r in delta.select(dst._bucket_expr(group_cols).alias("b")).distinct().collect()
+    }
+    cur = dst.read(buckets=buckets).select(
+        *[F.col(g).alias(f"_k_{g}") for g in group_cols],
+        F.col("n").alias("_cur_n"),
+        *[F.col(f"sum_{c}").alias(f"_cur_{c}") for c in sum_cols],
+    )
+    # NULL-SAFE group join: NULL is a legal group value and must match
+    # its own aggregate row (a plain key join silently resets NULL
+    # groups — delta-only n, spurious n=0 deletes)
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(g).eqNullSafe(F.col(f"_k_{g}")) for g in group_cols],
+    )
+    j = delta.join(cur, cond, "left").drop(*[f"_k_{g}" for g in group_cols])
+    new_n = F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_dn")
+    feed = j.select(
+        *[F.col(g) for g in group_cols],
+        new_n.alias("n"),
+        *[
+            (F.coalesce(F.col(f"_cur_{c}"), F.lit(0)) + F.col(f"_d_{c}")).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+        F.when(new_n <= 0, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        F.lit(v_to).cast("long").alias("seq"),
+    )
+    stats = dst.merge_cdc(
+        feed,
+        epoch=f"aggsync_v{v_to}",
+        extra_manifest={"properties": {**dst.properties, SYNC_PROP: v_to}},
+    )
     return {**stats, "skipped": False, "from_version": v_from, "to_version": v_to}

@@ -902,25 +902,46 @@ class LakeTable:
             F.when(dead, F.lit("delete")).otherwise(F.lit("upsert")).alias("_change_type"),
         )
 
-    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        preimage_cols: list[str] | None = None,
+    ) -> DataFrame:
         """Classified change feed: like ``changes_since`` but splits
         upserts into insert vs update_postimage and suppresses
         deletes of keys that were not live at ``v_from`` (re-deletes).
         Costs one extra keyed join — against the OLD snapshot restricted
         to the same changed buckets (bucket ids are comparable unless a
         rebucket happened in between, in which case the old side falls
-        back to a full read)."""
+        back to a full read).
+
+        ``preimage_cols`` additionally carries the OLD value of the
+        named columns as ``_pre_<col>`` (NULL for inserts) — what a
+        consumer needs to RETRACT the previous contribution of a key,
+        i.e. the input contract of incremental aggregate maintenance
+        (etl_spark.lake.incremental.sync_agg)."""
         m_to = self.manifest(v_to)
         m_from = self.manifest(v_from)
         changed = self._changed_buckets(m_from, m_to)
         keys = m_to["key_cols"]
         new = self.changes_since(v_from, v_to)
         old_buckets = changed if m_from["n_buckets"] == m_to["n_buckets"] else None
-        old_live = (
-            self.read(version=v_from, buckets=old_buckets)
-            .select(*[F.col(k) for k in keys], F.lit(True).alias("__was_live"))
+        pre = preimage_cols or []
+        old_live = self.read(version=v_from, buckets=old_buckets).select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            F.lit(True).alias("__was_live"),
+            *[F.col(c).alias(f"_pre_{c}") for c in pre],
         )
-        j = new.join(old_live, keys, "left")
+        # null-safe key join: key columns are not declared non-null
+        # (derived tables legitimately key on nullable group values)
+        import functools
+
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
+        )
+        j = new.join(old_live, cond, "left").drop(*[f"__k_{k}" for k in keys])
         was = F.coalesce(F.col("__was_live"), F.lit(False))
         kind = (
             F.when((F.col("_change_type") == "delete") & was, F.lit("delete"))
@@ -932,6 +953,26 @@ class LakeTable:
             .filter(F.col("_change_type").isNotNull())
             .drop("__was_live")
         )
+
+    def read_since(self, seq_gt: int, version: int | None = None) -> DataFrame:
+        """Seq-watermark scan: live rows with ``seq > seq_gt``, pruning
+        every bucket (base and delta) whose ``max_seq`` stat proves it
+        holds nothing newer — O(touched buckets) from the manifest
+        alone, with the residual seq filter pushed to the parquet scan.
+        This is the ordered-tail read (process events past a
+        checkpoint); for change capture under out-of-order delivery use
+        ``changes_since`` (commit-version based) instead."""
+        m = self.manifest(version)
+        keep: set[int] = set()
+        for b, ent in m["buckets"].items():
+            if ent.get("max_seq") is None or ent["max_seq"] > seq_gt:
+                keep.add(int(b))
+        for d in m.get("deltas", []):
+            for b, ent in d["buckets"].items():
+                if ent.get("max_seq") is None or ent["max_seq"] > seq_gt:
+                    keep.add(int(b))
+        df = self.read(version=m["version"], buckets=keep)
+        return df.filter(F.col(m["seq_col"]) > F.lit(seq_gt))
 
     def backport_events(self, version: int | None = None) -> DataFrame:
         """The reverse path (the reference's backport,

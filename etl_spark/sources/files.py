@@ -162,6 +162,80 @@ class Snapshot:
 
 
 # ---------------------------------------------------------------------------
+# conditional refresh (the reference's ETag/URL change detection,
+# etl/steps/__init__.py:867-886: a source step is dirty only when the
+# remote's ETag differs from the stored one)
+# ---------------------------------------------------------------------------
+
+
+class ConditionalSource:
+    """An upstream-refreshable snapshot with ETag-style change
+    detection and an INJECTABLE transport (this sandbox has no
+    network; production passes an HTTP conditional-GET closure).
+
+    ``fetch(etag)`` contract: return ``None`` when the upstream
+    reports not-modified for ``etag`` (HTTP 304), else
+    ``(content_bytes, new_etag)``. Two fences decide dirtiness, in
+    order: the transport's etag (cheap, no download), then the content
+    md5 (an upstream that rotates etags without changing bytes — the
+    reference's checksum fence — does NOT dirty the snapshot; only the
+    stored etag advances). State lives in a ``<path>.pin.json``
+    sidecar; the file itself is replaced atomically (tmp+rename), so a
+    reader holding the old pin never sees torn bytes."""
+
+    def __init__(self, path: str, fetch, fmt: str = "csv", schema=None, **options):
+        self.path = path
+        self.fetch = fetch
+        self.fmt = fmt
+        self.schema = schema
+        self.options = options
+
+    @property
+    def _pin_path(self) -> str:
+        return f"{self.path}.pin.json"
+
+    def pin_state(self) -> dict:
+        if not os.path.exists(self._pin_path):
+            return {}
+        with open(self._pin_path) as f:
+            return json.load(f)
+
+    def snapshot(self) -> Snapshot:
+        st = self.pin_state()
+        if not st:
+            raise SnapshotError(f"no pinned snapshot yet at {self.path}; call refresh()")
+        return Snapshot(self.path, st["md5"], fmt=self.fmt, schema=self.schema, **self.options)
+
+    def refresh(self, force: bool = False) -> dict:
+        """Fetch-if-changed. Returns {refreshed, reason, md5, etag}."""
+        st = self.pin_state()
+        res = self.fetch(None if force else st.get("etag"))
+        if res is None:
+            return {"refreshed": False, "reason": "etag_match", **st}
+        content, etag = res
+        new_md5 = hashlib.md5(content).hexdigest()
+        if st.get("md5") == new_md5:
+            # bytes unchanged under a rotated etag: advance the etag
+            # only, keep the pinned file untouched
+            self._write_pin({**st, "etag": etag})
+            return {"refreshed": False, "reason": "content_match", "md5": new_md5, "etag": etag}
+        tmp = f"{self.path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+        self._write_pin({"md5": new_md5, "etag": etag})
+        return {"refreshed": True, "reason": "changed", "md5": new_md5, "etag": etag}
+
+    def _write_pin(self, st: dict) -> None:
+        tmp = f"{self._pin_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._pin_path)
+
+
+# ---------------------------------------------------------------------------
 # dataset + sidecar metadata (tables.py:120-256 write path)
 # ---------------------------------------------------------------------------
 

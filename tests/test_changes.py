@@ -278,6 +278,146 @@ def test_incremental_sync_crash_window_converges(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# incremental materialized aggregates
+# ---------------------------------------------------------------------------
+
+
+def _agg_src(spark, tmp_path, name="aggsrc"):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("metric", T.LongType(), True),
+        ]
+    )
+    return LakeTable.create(spark, str(tmp_path / name), schema, ["k"], n_buckets=4)
+
+
+def _agg_dst(spark, tmp_path, name="aggdst"):
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("sum_metric", T.LongType(), True),
+        ]
+    )
+    return LakeTable.create(spark, str(tmp_path / name), schema, ["grp"], n_buckets=4)
+
+
+def _agg_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, grp string, metric long, op string, seq long"
+    )
+
+
+def test_sync_agg_matches_full_recompute(spark, tmp_path):
+    from etl_spark.lake.incremental import sync_agg
+
+    src = _agg_src(spark, tmp_path)
+    dst = _agg_dst(spark, tmp_path)
+
+    def check():
+        want = {
+            (r["grp"], r["n"], r["s"])
+            for r in src.read()
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("metric").alias("s"))
+            .collect()
+        }
+        got = {(r["grp"], r["n"], r["sum_metric"]) for r in dst.read().collect()}
+        assert got == want, (got, want)
+
+    src.merge_cdc(_agg_rows(spark, [
+        ("a", "g1", 10, "insert", 1), ("b", "g1", 5, "insert", 2), ("c", "g2", 7, "insert", 3),
+    ]))
+    s = sync_agg(src, dst, ["grp"], ["metric"])
+    assert s["skipped"] is False
+    check()
+
+    # update that MOVES a key between groups + delete + insert
+    src.merge_cdc(_agg_rows(spark, [
+        ("a", "g2", 20, "update", 4),   # g1 -1/-10, g2 +1/+20
+        ("b", None, None, "delete", 5),  # g1 -1/-5 -> g1 reaches n=0
+        ("d", "g2", 1, "insert", 6),
+    ]))
+    sync_agg(src, dst, ["grp"], ["metric"])
+    check()
+    assert "g1" not in {r["grp"] for r in dst.read().collect()}  # n=0 groups deleted
+
+    # no-op rerun skips; watermark advanced atomically with the merge
+    assert sync_agg(src, dst, ["grp"], ["metric"])["skipped"] is True
+    assert int(dst.properties["sync_from_version"]) == src.current_version()
+
+
+def test_sync_agg_watermark_atomic_with_merge(spark, tmp_path):
+    """Data and watermark land in ONE manifest commit (no separate
+    property version — an additive delta must never be re-applicable)."""
+    from etl_spark.lake.incremental import sync_agg
+
+    src = _agg_src(spark, tmp_path)
+    dst = _agg_dst(spark, tmp_path)
+    src.merge_cdc(_agg_rows(spark, [("a", "g1", 3, "insert", 1)]))
+    v_before = dst.current_version()
+    sync_agg(src, dst, ["grp"], ["metric"])
+    assert dst.current_version() == v_before + 1  # exactly one commit
+    m = dst.manifest()
+    assert int(m["properties"]["sync_from_version"]) == src.current_version()
+    assert f"aggsync_v{src.current_version()}" in m["epochs"]
+
+
+def test_sync_agg_null_group_survives_update(spark, tmp_path):
+    """NULL is a legal group value: a pure update inside the NULL
+    group across two syncs must not reset or delete its aggregate row
+    (regression: a non-null-safe join dropped it)."""
+    from etl_spark.lake.incremental import sync_agg
+
+    src = _agg_src(spark, tmp_path)
+    dst = _agg_dst(spark, tmp_path)
+    src.merge_cdc(_agg_rows(spark, [("a", None, 10, "insert", 1), ("b", None, 4, "insert", 2)]))
+    sync_agg(src, dst, ["grp"], ["metric"])
+    src.merge_cdc(_agg_rows(spark, [("a", None, 11, "update", 3)]))
+    sync_agg(src, dst, ["grp"], ["metric"])
+    rows = dst.read().collect()
+    assert len(rows) == 1
+    assert (rows[0]["grp"], rows[0]["n"], rows[0]["sum_metric"]) == (None, 2, 15)
+
+
+def test_sync_agg_update_within_group(spark, tmp_path):
+    from etl_spark.lake.incremental import sync_agg
+
+    src = _agg_src(spark, tmp_path)
+    dst = _agg_dst(spark, tmp_path)
+    src.merge_cdc(_agg_rows(spark, [("a", "g1", 10, "insert", 1)]))
+    sync_agg(src, dst, ["grp"], ["metric"])
+    src.merge_cdc(_agg_rows(spark, [("a", "g1", 13, "update", 2)]))
+    sync_agg(src, dst, ["grp"], ["metric"])
+    got = dst.read().first()
+    assert (got["grp"], got["n"], got["sum_metric"]) == ("g1", 1, 13)
+
+
+# ---------------------------------------------------------------------------
+# seq-watermark read (read_since)
+# ---------------------------------------------------------------------------
+
+
+def test_read_since_rows_and_pruning(spark, tmp_path):
+    import shutil
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=64)
+    t.merge_cdc(_src(spark, [(f"k{i}", i, "insert", i) for i in range(100)]))
+    t.merge_cdc(_src(spark, [("k0", 999, "update", 1000)]))
+    got = {(r["k"], r["v"]) for r in t.read_since(99).collect()}
+    assert got == {("k0", 999)}
+    # pruning proof: physically remove every bucket whose stats say
+    # max_seq <= 99 — read_since must never touch them
+    m = t.manifest()
+    for b, ent in m["buckets"].items():
+        if ent["max_seq"] <= 99:
+            shutil.rmtree(ent["path"])
+    assert {(r["k"], r["v"]) for r in t.read_since(99).collect()} == {("k0", 999)}
+
+
+# ---------------------------------------------------------------------------
 # manifest stats
 # ---------------------------------------------------------------------------
 

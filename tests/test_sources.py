@@ -95,3 +95,66 @@ def test_replay_job_refuses_conflicting_flags(spark, tmp_path):
     )
     with _pytest.raises(SystemExit):
         ensure_table(spark, bad2)
+
+
+# ---------------------------------------------------------------------------
+# conditional refresh (ETag-style change detection)
+# ---------------------------------------------------------------------------
+
+
+class _FakeUpstream:
+    """Injectable transport: versioned (content, etag) with 304 logic."""
+
+    def __init__(self, content: bytes, etag: str):
+        self.content, self.etag = content, etag
+        self.fetch_calls = 0
+        self.full_downloads = 0
+
+    def fetch(self, etag):
+        self.fetch_calls += 1
+        if etag is not None and etag == self.etag:
+            return None  # HTTP 304 Not Modified
+        self.full_downloads += 1
+        return self.content, self.etag
+
+
+def test_conditional_refresh_lifecycle(spark, tmp_path):
+    from etl_spark.sources.files import ConditionalSource
+
+    up = _FakeUpstream(b"a,b\n1,2\n", "e1")
+    src = ConditionalSource(
+        str(tmp_path / "src.csv"), up.fetch, fmt="csv", schema="a int, b int"
+    )
+    # no pin yet -> snapshot() refuses
+    with pytest.raises(SnapshotError):
+        src.snapshot()
+
+    r1 = src.refresh()
+    assert r1["refreshed"] is True and r1["reason"] == "changed"
+    assert src.snapshot().read(spark).count() == 1
+
+    # unchanged upstream: etag fence, NO download
+    r2 = src.refresh()
+    assert r2["refreshed"] is False and r2["reason"] == "etag_match"
+    assert up.full_downloads == 1
+
+    # rotated etag, same bytes: downloads once, checksum fence holds,
+    # the pinned file is untouched and only the stored etag advances
+    up.etag = "e2"
+    r3 = src.refresh()
+    assert r3["refreshed"] is False and r3["reason"] == "content_match"
+    assert src.pin_state()["etag"] == "e2"
+    assert src.refresh()["reason"] == "etag_match"  # e2 now fenced
+
+    # real change: new snapshot, old pin must now FAIL verification
+    old_snap = src.snapshot()
+    up.content, up.etag = b"a,b\n1,2\n3,4\n", "e3"
+    r4 = src.refresh()
+    assert r4["refreshed"] is True
+    assert src.snapshot().read(spark).count() == 2
+    with pytest.raises(SnapshotError):
+        old_snap.verify()
+
+    # force bypasses the etag fence but not the checksum fence
+    r5 = src.refresh(force=True)
+    assert r5["refreshed"] is False and r5["reason"] == "content_match"
