@@ -181,6 +181,66 @@ def main() -> int:
         failures.append(f"corpus_stats: {scans7} scans (expected 1)")
     sections.append(("Corpus pipeline: single scan, bounded shuffles", p7, checks7))
 
+    # 8. changelog read: the _cv filter is pushed to the parquet scan
+    # (changed-bucket pruning is manifest-side and invisible to the
+    # plan; the residual row filter must not cost a post-scan pass)
+    t8 = LakeTable.create(spark, os.path.join(root, "t8"),
+                          T.StructType([T.StructField("k", T.StringType(), True),
+                                        T.StructField("v", T.StringType(), True)]),
+                          ["k"], n_buckets=4)
+    s8 = spark.createDataFrame([("a", "1", "insert", 1), ("b", "2", "insert", 2)],
+                               "k string, v string, op string, seq long")
+    t8.merge_cdc(s8)
+    t8.merge_cdc(spark.createDataFrame([("a", "9", "update", 3)],
+                                       "k string, v string, op string, seq long"))
+    p8 = plan_of(t8.changes_since(1))
+    checks8 = []
+    if re.search(r"PushedFilters: \[[^\]]*GreaterThan\(_cv", p8):
+        checks8.append("OK commit-version filter pushed to parquet scan")
+    else:
+        failures.append("changes_since: _cv filter not pushed down")
+    sections.append(("Changelog read: pushed _cv filter + manifest pruning", p8, checks8))
+
+    # 9. line-level dedup: the boilerplate set broadcasts (the corpus
+    # line stream must never shuffle for the filter)
+    from etl_spark.text.lines import strip_boilerplate
+
+    q9 = strip_boilerplate(docs, "doc_id", "text", min_docs=2, n_words=8)
+    p9 = plan_of(q9)
+    checks9 = []
+    if "BroadcastHashJoin" in p9:
+        checks9.append("OK boilerplate set broadcasts into the line stream")
+    else:
+        failures.append("line_dedup: boilerplate join not broadcast")
+    sections.append(("Line dedup: broadcast boilerplate filter", p9, checks9))
+
+    # 10. contamination: benchmark shingles broadcast into a semi join
+    from etl_spark.text.contamination import contamination
+
+    q10 = contamination(docs.filter(F.col("doc_id") % 37 != 0),
+                        docs.filter(F.col("doc_id") % 37 == 0),
+                        "doc_id", "text", n=8)
+    p10 = plan_of(q10)
+    checks10 = []
+    if "BroadcastHashJoin" in p10 and "LeftSemi" in p10:
+        checks10.append("OK benchmark side broadcasts; corpus stream semi-joins in place")
+    else:
+        failures.append("contamination: benchmark join not a broadcast semi join")
+    sections.append(("Contamination screen: broadcast semi join", p10, checks10))
+
+    # 11. source mixing: replication is a NARROW map (explode over
+    # sequence) — no Exchange anywhere before downstream aggregation
+    from etl_spark.ops.sample import mix_sources
+
+    q11 = mix_sources(docs, "doc_id", "source", {"src0": 2.5, "src1": 0.25}, salt="s")
+    p11 = plan_of(q11)
+    checks11 = []
+    if "Exchange" not in p11:
+        checks11.append("OK zero shuffles: replication multiplies partitions in place")
+    else:
+        failures.append("mix_sources: unexpected Exchange in plan")
+    sections.append(("Source mixing: shuffle-free replication", p11, checks11))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
