@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "text_quality",
     "langid",
     "token_counts",
+    "line_dedup",
+    "contamination",
+    "pii_redact",
+    "source_mix",
+    "table_changes",
 ]
 
 
@@ -287,6 +292,56 @@ def skew_bench(spark, root: str, n_events: int, hot_pct: int = 50) -> dict:
     return out
 
 
+def incremental_bench(spark, root: str, n_events: int) -> dict:
+    """The O(changed data) claim, measured: bootstrap a src table from
+    n_events, full-sync a mirror and a per-lang aggregate off it, then
+    change ONE key and time the whole downstream propagation
+    (changelog read -> mirror merge -> aggregate retraction+merge).
+    The one-key latency must be independent of table size — it reads
+    one changed bucket upstream and merges one bucket per hop
+    downstream; everything else is manifest pointer comparison."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc import replay as R
+    from etl_spark.cdc.generator import generate_events
+    from etl_spark.lake.incremental import sync, sync_agg
+    from etl_spark.lake.table import LakeTable
+
+    src = _mk_table(spark, root, "inc_src")
+    R.apply_batch(src, generate_events(spark, n_events, partitions=64), epoch=0)
+    mirror = _mk_table(spark, root, "inc_mirror")
+    agg = LakeTable.create(
+        spark, os.path.join(root, "inc_agg"),
+        T.StructType([T.StructField("lang", T.StringType(), True),
+                      T.StructField("n", T.LongType(), True)]),
+        ["lang"], n_buckets=8,
+    )
+    t0 = time.time()
+    sync(src, mirror)
+    sync_agg(src, agg, ["lang"])
+    bootstrap = time.time() - t0
+
+    one = spark.createDataFrame(
+        [("org0/repo0", "src/x/file0.rs", "deadbeef", "rust",
+          "fn main() { /* changed */ }", None, "update", n_events + 10)],
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha256 string, op string, seq long",
+    )
+    src.merge_cdc(one, epoch=1)
+    t0 = time.time()
+    sync(src, mirror)
+    sync_agg(src, agg, ["lang"])
+    one_key = time.time() - t0
+    return {
+        "events": n_events,
+        "bootstrap_sync_sec": round(bootstrap, 2),
+        "one_key_propagation_sec": round(one_key, 2),
+        "mirror_rows": mirror.row_count(),
+        "agg_rows": agg.row_count(),
+    }
+
+
 def cdc_replay(spark, root: str, name: str, n_events: int, batches: int = 4) -> float:
     """Fused engine path: generate WAL slice -> canonicalize -> one
     max_by MERGE per batch into a bucketed table with derived
@@ -341,6 +396,8 @@ def main() -> None:
         print(f"  skew (50% one key): {skew}", file=sys.stderr)
         udf_tax = udf_tax_bench(spark)
         print(f"  udf tax: {udf_tax}", file=sys.stderr)
+        incr = incremental_bench(spark, root, CDC_EVENTS // 3)
+        print(f"  incremental propagation: {incr}", file=sys.stderr)
 
         # adaptive trials: best-of per level only improves with more
         # samples, so keep sampling (interleaved) until the efficiency
@@ -393,6 +450,7 @@ def main() -> None:
         "stream_drain": stream,
         "skew": skew,
         "udf_tax": udf_tax,
+        "incremental": incr,
     }
     result["metric"] = "headline suite total + CDC replay sec"
     result["value"] = round(queries_total + min(times[CPUS]), 2)

@@ -128,6 +128,9 @@ def sync_agg(
         F.lit(-1).alias("_dn"),
         *[(-F.coalesce(F.col(f"_pre_{c}"), F.lit(0))).alias(f"_d_{c}") for c in sum_cols],
     )
+    # delta is O(touched groups) — tiny — and is consumed three times
+    # (bucket discovery, the join, and the merge's own double read);
+    # persist it so the change-feed classification join runs ONCE
     delta = (
         adds.unionByName(subs)
         .groupBy(*group_cols)
@@ -135,7 +138,7 @@ def sync_agg(
             F.sum("_dn").alias("_dn"),
             *[F.sum(f"_d_{c}").alias(f"_d_{c}") for c in sum_cols],
         )
-    )
+    ).persist()
     # bucket-pruned read of the current aggregate rows: the bucket set
     # is computed by one tiny job over the delta's group keys (bounded
     # by dst.n_buckets — same pattern as read_keys)
@@ -167,9 +170,12 @@ def sync_agg(
         F.when(new_n <= 0, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
         F.lit(v_to).cast("long").alias("seq"),
     )
-    stats = dst.merge_cdc(
-        feed,
-        epoch=f"aggsync_v{v_to}",
-        extra_manifest={"properties": {**dst.properties, SYNC_PROP: v_to}},
-    )
+    try:
+        stats = dst.merge_cdc(
+            feed,
+            epoch=f"aggsync_v{v_to}",
+            extra_manifest={"properties": {**dst.properties, SYNC_PROP: v_to}},
+        )
+    finally:
+        delta.unpersist()
     return {**stats, "skipped": False, "from_version": v_from, "to_version": v_to}

@@ -89,6 +89,7 @@ class CdcStream:
         maintain_every: int | None = None,
         keep_versions: int = 4,
         compact_deltas_over: int = 8,
+        downstream=None,
     ):
         """``maintain_every``: every N applied epochs run maintenance —
         expire data dirs of versions older than ``keep_versions`` and,
@@ -96,7 +97,16 @@ class CdcStream:
         ``compact_deltas_over``. Without it a long-running stream
         accumulates version dirs (COW) or read-time deltas (MOR)
         unboundedly. Maintenance commits are ordinary atomic versions,
-        so a crash mid-maintenance is as safe as a crash mid-merge."""
+        so a crash mid-maintenance is as safe as a crash mid-merge.
+
+        ``downstream``: callables ``hook(table)`` run after every
+        APPLIED epoch — the place to keep derived tables current, e.g.
+        ``lambda t: sync(t, dst)`` or ``lambda t: sync_agg(t, agg,
+        ["lang"])`` (etl_spark.lake.incremental). Each sync carries its
+        own atomic watermark, so a crash between the merge and a hook
+        only defers that hook's work to the next epoch — the pipeline
+        stays exactly-once end to end. Hooks run in order, so a hook
+        may chain further hops (src -> derived -> aggregate)."""
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.salted = salted
@@ -104,6 +114,7 @@ class CdcStream:
         self.maintain_every = maintain_every
         self.keep_versions = keep_versions
         self.compact_deltas_over = compact_deltas_over
+        self.downstream = list(downstream or [])
         self._applied_since_maintain = 0
 
     @property
@@ -172,6 +183,7 @@ class CdcStream:
                 extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
             )
             self._maybe_maintain()
+            self._run_downstream()
             return out
         staged = R.stage_batch(batch, salted=self.salted)
         staged = staged.persist()
@@ -185,7 +197,12 @@ class CdcStream:
         finally:
             staged.unpersist()
         self._maybe_maintain()
+        self._run_downstream()
         return out
+
+    def _run_downstream(self) -> None:
+        for hook in self.downstream:
+            hook(self.table)
 
     def start(
         self,

@@ -244,3 +244,49 @@ def test_stream_auto_maintenance(spark, tmp_path):
     stream2 = CdcStream(t, str(tmp_path / "chk"))
     stream2.run_to_completion(spark, wal, max_files_per_trigger=1)
     assert len(t.committed_epochs()) == 6
+
+
+def test_streaming_downstream_pipeline(spark, wal, oracle, repos_schema, tmp_path):
+    """Multi-hop streaming pipeline: WAL -> src table, with downstream
+    hooks maintaining a row-level mirror AND a per-lang aggregate off
+    the mirror (src -> mirror -> agg) per micro-batch. After the drain
+    every hop must equal its full recompute; a rerun is a no-op at
+    every hop."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.incremental import sync, sync_agg
+
+    tbl = _table(spark, tmp_path, repos_schema)
+    mirror = LakeTable.create(
+        spark, str(tmp_path / "mirror"), repos_schema, ["repo", "path"], n_buckets=4
+    )
+    agg = LakeTable.create(
+        spark,
+        str(tmp_path / "bylang"),
+        T.StructType([T.StructField("lang", T.StringType(), True),
+                      T.StructField("n", T.LongType(), True)]),
+        ["lang"],
+        n_buckets=4,
+    )
+    hooks = [
+        lambda t: sync(t, mirror),
+        lambda t: sync_agg(mirror, agg, ["lang"]),  # 2nd hop: off the mirror
+    ]
+    s = CdcStream(tbl, str(tmp_path / "ckpt"), downstream=hooks)
+    s.run_to_completion(spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=2)
+
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+    pd.testing.assert_frame_equal(_final(mirror), oracle, check_dtype=False)
+    want = {
+        (None if pd.isna(k) else k): int(v)
+        for k, v in oracle.groupby("lang", dropna=False).size().items()
+    }
+    got = {r["lang"]: r["n"] for r in agg.read().collect()}
+    assert got == want
+
+    # rerun the whole drain on a fresh checkpoint: fences + watermarks
+    # make every hop a no-op (versions unchanged everywhere)
+    vs = (tbl.current_version(), mirror.current_version(), agg.current_version())
+    s2 = CdcStream(tbl, str(tmp_path / "ckpt2"), downstream=hooks)
+    s2.run_to_completion(spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=2)
+    assert (tbl.current_version(), mirror.current_version(), agg.current_version()) == vs
