@@ -1767,6 +1767,39 @@ FROM c WHERE n > 0 GROUP BY source
 # ---------------------------------------------------------------------------
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection: within each exact-duplicate group
+    (same sha256(text)) keep the 'best' copy — longest text, smallest
+    doc_id tie-break — and report the group size. Only the (sha,
+    doc_id, n_chars) triple ever shuffles; the text payload stays in
+    the scan (hash computed in place, codegen)."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "n_chars", F.sha2(F.col("text"), 256).alias("text_sha256")
+    )
+    w = Window.partitionBy("text_sha256").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("text_sha256")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_sha256", "n_copies")
+    )
+
+
+_SQL_KEEP_BEST = """
+SELECT doc_id, text_sha256, n_copies
+FROM (
+  SELECT doc_id, text_sha256,
+         row_number() OVER (PARTITION BY text_sha256 ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY text_sha256) AS n_copies
+  FROM (SELECT doc_id, n_chars, SHA256(text) AS text_sha256 FROM documents)
+) t WHERE rn = 1
+"""
+
+
 def q_shift_lag(spark, sf_dir):
     from etl_spark.ops import shift
 
@@ -1888,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "source_mix": q_source_mix,
+        "dedup_keep_best": q_dedup_keep_best,
         "shift_lag": q_shift_lag,
         "row_sum": q_row_sum,
         "set_ops": q_set_ops,
@@ -2120,6 +2154,7 @@ FROM documents
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,
         "source_mix": _SQL_SOURCE_MIX,
+        "dedup_keep_best": _SQL_KEEP_BEST,
         "shift_lag": _SQL_SHIFT,
         "row_sum": _SQL_ROW_SUM,
         "set_ops": _SQL_SET_OPS,

@@ -235,6 +235,7 @@ class LakeTable:
         version: int | None = None,
         buckets: set[int] | None = None,
         include_tombstones: bool = False,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot read. Files written under older schema ids are read
         with their own schema, upcast by name, then unioned — missing
@@ -244,6 +245,10 @@ class LakeTable:
         In merge-on-read mode, delta files are unioned with the base
         and resolved (latest seq per key wins) at read time — the
         ingest-side cost COW pays per batch, moved to the read side."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self.resolve_tag(tag)
         m = self.manifest(version)
         cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
         by_sid: dict[int, list[str]] = {}
@@ -310,6 +315,37 @@ class LakeTable:
         df = self.read(buckets=buckets)
         probe = lit_df.select(*kcols)
         return df.join(F.broadcast(probe), kcols, "left_semi")
+
+    # ---------- tags (named refs over the version chain) ----------
+
+    @property
+    def _tags_path(self) -> str:
+        return os.path.join(self._meta_dir, "TAGS.json")
+
+    def tags(self) -> dict:
+        if not os.path.exists(self._tags_path):
+            return {}
+        with open(self._tags_path) as f:
+            return json.load(f)
+
+    def tag(self, name: str, version: int | None = None) -> None:
+        """Pin a human-named ref to a version (Iceberg tag analog) —
+        the reproducibility handle ('the table as training run X saw
+        it'). Tagged versions' data survives expire_versions."""
+        v = self.current_version() if version is None else int(version)
+        self.manifest(v)  # must exist
+        _atomic_write(self._tags_path, json.dumps({**self.tags(), name: v}))
+
+    def delete_tag(self, name: str) -> None:
+        t = self.tags()
+        t.pop(name, None)
+        _atomic_write(self._tags_path, json.dumps(t))
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise KeyError(f"no such tag: {name}")
+        return int(t[name])
 
     def history(self) -> DataFrame:
         """The version chain as a DataFrame: (version, parent, note,
@@ -381,6 +417,40 @@ class LakeTable:
               "schemas": schemas, "current_schema_id": sid,
               "rename_maps": rename_maps, "derived": derived,
               "committed_at": time.time(), "note": f"rename {old}->{new}"}
+        self._commit(m2)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only column drop (Iceberg-style): no data file is
+        touched. The physical column in already-written files is
+        unbound by recording a rename-map entry to a reserved
+        never-written name, so a LATER re-add of the same column name
+        binds to fresh NULLs — never to the dropped column's old
+        values (the name-based-mapping resurrection hazard Iceberg
+        solves with field ids, solved here with the same composed
+        rename maps the rename DDL uses). Time travel to versions
+        before the drop still reads the original values."""
+        m = self.manifest()
+        cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
+        if name not in cur.names:
+            raise SchemaEvolutionError(f"no such column: {name}")
+        if name in (m["seq_col"], _DELETED, _CV) or name in m["key_cols"]:
+            raise SchemaEvolutionError(f"cannot drop key/internal column: {name}")
+        for dst, (fn, srccol) in m.get("derived", {}).items():
+            if name in (dst, srccol):
+                raise SchemaEvolutionError(
+                    f"column {name!r} is part of derived spec {dst!r}; drop the spec first"
+                )
+        new_schema = T.StructType([f for f in cur.fields if f.name != name])
+        schemas = m["schemas"] + [new_schema.jsonValue()]
+        sid = len(schemas) - 1
+        rename_maps = dict(m.get("rename_maps", {}))
+        # unbind: any future column with this name resolves, for files
+        # older than this sid, to a physical name no file ever wrote
+        rename_maps[str(sid)] = {name: f"__dropped_v{sid}__{name}"}
+        m2 = {**m, "version": m["version"] + 1, "parent": m["version"],
+              "schemas": schemas, "current_schema_id": sid,
+              "rename_maps": rename_maps,
+              "committed_at": time.time(), "note": f"drop {name}"}
         self._commit(m2)
 
     def _physical_name(self, m: dict, logical: str, file_sid: int) -> str:
@@ -1123,10 +1193,14 @@ class LakeTable:
         return self._commit(m2)
 
     def expire_versions(self, keep_last: int = 2) -> None:
-        """Drop data/delta dirs only referenced by expired manifests."""
+        """Drop data/delta dirs only referenced by expired manifests.
+        Tagged versions are always retained (a tag is a promise the
+        snapshot stays readable)."""
         cur = self.current_version()
         live: set[str] = set()
-        for v in range(max(0, cur - keep_last + 1), cur + 1):
+        keep_vs = set(range(max(0, cur - keep_last + 1), cur + 1))
+        keep_vs.update(int(v) for v in self.tags().values())
+        for v in sorted(keep_vs):
             try:
                 m = self.manifest(v)
             except FileNotFoundError:

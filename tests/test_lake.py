@@ -504,3 +504,81 @@ def test_history_chain(spark, tmp_path):
     assert [r["version"] for r in h] == [0, 1, 2]
     assert h[2]["note"] == "set_properties"
     assert h[1]["rows"] == 1 and h[1]["n_epochs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# metadata-only column drop + tags
+# ---------------------------------------------------------------------------
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.StringType(), False),
+                      T.StructField("v", T.IntegerType(), True),
+                      T.StructField("c", T.StringType(), True)]),
+        ["k"], n_buckets=4,
+    )
+    rows = spark.createDataFrame(
+        [("a", 1, "x", "insert", 1), ("b", 2, "y", "insert", 2)],
+        "k string, v int, c string, op string, seq long",
+    )
+    t.merge_cdc(rows)
+    m_before = t.manifest()
+    t.drop_column("c")
+    # no data rewritten: every bucket pointer is unchanged
+    assert {b: e["path"] for b, e in t.manifest()["buckets"].items()} == \
+           {b: e["path"] for b, e in m_before["buckets"].items()}
+    assert "c" not in t.read().columns
+    # time travel before the drop still shows the values
+    assert {r["c"] for r in t.read(version=m_before["version"]).collect()} == {"x", "y"}
+
+
+def test_drop_column_no_resurrection(spark, tmp_path):
+    """Re-adding a dropped column must bind to fresh NULLs for rows in
+    files written before the drop — never to the dropped values (the
+    name-based-mapping hazard)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.StringType(), False),
+                      T.StructField("c", T.StringType(), True)]),
+        ["k"], n_buckets=1,
+    )
+    t.merge_cdc(spark.createDataFrame([("a", "OLD", "insert", 1)],
+                                      "k string, c string, op string, seq long"))
+    t.drop_column("c")
+    # a later batch re-introduces 'c' (legal add evolution) for key b only
+    t.merge_cdc(spark.createDataFrame([("b", "NEW", "insert", 2)],
+                                      "k string, c string, op string, seq long"))
+    got = {r["k"]: r["c"] for r in t.read().collect()}
+    assert got == {"a": None, "b": "NEW"}  # 'a' must NOT resurrect "OLD"
+
+
+def test_drop_column_guards(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.StringType(), False),
+                      T.StructField("content", T.StringType(), True),
+                      T.StructField("sha", T.StringType(), True)]),
+        ["k"], n_buckets=2, derived={"sha": ("sha256", "content")},
+    )
+    for bad in ("k", "last_seq", "content", "sha", "nope"):
+        with pytest.raises(SchemaEvolutionError):
+            t.drop_column(bad)
+
+
+def test_tags_pin_and_survive_expiry(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]))
+    t.tag("training-run-7")
+    v_tagged = t.current_version()
+    for i in range(2, 8):
+        t.merge_cdc(_src(spark, [("a", i, "update", i)]))
+    t.expire_versions(keep_last=1)
+    # the tagged snapshot's data survived expiry and reads exactly
+    assert t.read(tag="training-run-7").first()["v"] == 1
+    assert t.tags() == {"training-run-7": v_tagged}
+    t.delete_tag("training-run-7")
+    assert t.tags() == {}
+    with pytest.raises(KeyError):
+        t.resolve_tag("training-run-7")
