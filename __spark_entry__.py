@@ -1767,6 +1767,56 @@ FROM c WHERE n > 0 GROUP BY source
 # ---------------------------------------------------------------------------
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: docs assigned to 2048-token training packs by
+    greedy cumsum in id order WITHIN each source (per-shard packing —
+    a global cumsum would serialize on one reducer at scale)."""
+    from etl_spark.text.pack import pack_stats
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count(F.col("text"))
+    )
+    return pack_stats(d, "doc_id", "n_tok", seq_len=2048, part_col="source")
+
+
+_SQL_PACK = """
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tok
+  FROM documents),
+p AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS st
+  FROM tok)
+SELECT source, st // 2048 AS pack_id, COUNT(*) AS n_docs,
+       SUM(n_tok)::BIGINT AS tokens_started
+FROM p GROUP BY source, st // 2048
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: exactly 5 docs per source by
+    key-hash order — membership stable under corpus growth."""
+    from etl_spark.ops.sample import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(d, "doc_id", "source", n_per_group=5, salt="s1")
+
+
+_SQL_STRATIFIED = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || SUBSTR(MD5('s1|strat:' || doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                    doc_id ASC) AS rn
+  FROM documents) t
+WHERE rn <= 5
+"""
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Canonical-document selection: within each exact-duplicate group
     (same sha256(text)) keep the 'best' copy — longest text, smallest
@@ -1922,6 +1972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "source_mix": q_source_mix,
         "dedup_keep_best": q_dedup_keep_best,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
         "shift_lag": q_shift_lag,
         "row_sum": q_row_sum,
         "set_ops": q_set_ops,
@@ -2155,6 +2207,8 @@ FROM documents
         "pii_redact": _SQL_PII_REDACT,
         "source_mix": _SQL_SOURCE_MIX,
         "dedup_keep_best": _SQL_KEEP_BEST,
+        "pack_sequences": _SQL_PACK,
+        "stratified_sample": _SQL_STRATIFIED,
         "shift_lag": _SQL_SHIFT,
         "row_sum": _SQL_ROW_SUM,
         "set_ops": _SQL_SET_OPS,

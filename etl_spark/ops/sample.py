@@ -43,6 +43,29 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") ->
     return df.filter(hash_bucket(F.col(key_col), salt) < F.lit(threshold))
 
 
+def stratified_sample(
+    df: DataFrame, key_col: str, group_col: str, n_per_group: int, salt: str = ""
+) -> DataFrame:
+    """Exactly min(n, group size) rows per group, chosen by key-hash
+    order (with the key as tie-break) — a deterministic, engine-
+    independent stratified sample: a group's selection only changes
+    when its own membership does. One shuffle on the group column;
+    rank compiles to WindowGroupLimit (top-n pre-filter during the
+    sort), so oversized groups never materialize past n per
+    partition."""
+    from pyspark.sql import Window
+
+    if n_per_group <= 0:
+        raise ValueError("n_per_group must be positive")
+    h = hash_bucket(F.col(key_col), f"{salt}|strat")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
 def mix_sources(
     df: DataFrame,
     key_col: str,

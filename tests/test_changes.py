@@ -418,6 +418,88 @@ def test_read_since_rows_and_pruning(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# changelog differential property: for ANY stream and ANY version pair,
+# changes() == brute-force diff of the two snapshots
+# ---------------------------------------------------------------------------
+
+
+def _pandas_state(rows):
+    """key -> (v, seq, live) latest-wins reduction over (k, op, v, seq);
+    values normalized to int-or-None (pandas floats NaN-ify null ints)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["k", "op", "v", "seq"])
+    if pdf.empty:
+        return {}
+    last = pdf.sort_values("seq").drop_duplicates("k", keep="last")
+    return {
+        r.k: (None if pd.isna(r.v) else int(r.v), int(r.seq), r.op != "delete")
+        for r in last.itertuples()
+    }
+
+
+def _pandas_diff(s_from, s_to):
+    out = {}
+    for k, (v, seq, live) in s_to.items():
+        was = s_from.get(k)
+        was_live = was is not None and was[2]
+        if live and not was_live:
+            out[k] = ("insert", v, seq)
+        elif live and was_live and (was[0], was[1]) != (v, seq):
+            out[k] = ("update_postimage", v, seq)
+        elif not live and was_live:
+            out[k] = ("delete", v, seq)
+    return out
+
+
+def test_changes_equals_bruteforce_diff_adversarial(spark, tmp_path):
+    """Seeded adversarial stream: out-of-order seqs across batches,
+    delete/reinsert chains, single-key floods. For EVERY version pair
+    (i < j) the classified change feed must equal the brute-force
+    pandas diff of the two snapshots."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    keys = [f"k{i}" for i in range(6)]
+    seqs = list(range(1, 41))
+    rng.shuffle(seqs)  # delivery order != seq order (late arrivals)
+    events = []
+    for i, seq in enumerate(seqs):
+        k = rng.choice(keys)
+        op = rng.choice(["insert", "update", "update", "delete"])
+        v = None if op == "delete" else rng.randrange(1000)
+        events.append((k, op, v, seq))
+    cuts = sorted(rng.sample(range(1, len(events)), 3))
+    batches = [events[a:b] for a, b in zip([0, *cuts], [*cuts, len(events)])]
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    states = {0: {}}
+    seen = []
+    for i, batch in enumerate(batches):
+        t.merge_cdc(
+            spark.createDataFrame(
+                [(k, v, op, seq) for (k, op, v, seq) in batch],
+                "k string, v int, op string, seq long",
+            ),
+            epoch=i,
+        )
+        seen.extend(batch)
+        states[t.current_version()] = _pandas_state(seen)
+
+    versions = sorted(states)
+    for a in versions:
+        for b in versions:
+            if a >= b:
+                continue
+            want = _pandas_diff(states[a], states[b])
+            got = {
+                r["k"]: (r["_change_type"], r["v"], r[t.seq_col])
+                for r in t.changes(a, b).collect()
+            }
+            assert got == want, (a, b, got, want)
+
+
+# ---------------------------------------------------------------------------
 # manifest stats
 # ---------------------------------------------------------------------------
 

@@ -122,3 +122,38 @@ def test_mix_sources_replication_and_stability(spark):
     assert old_b == new_b
     # unmentioned sources are dropped
     assert mix_sources(df, "k", "src", {"a": 1.0}, salt="s1").filter(F.col("src") == "b").count() == 0
+
+
+def test_pack_greedy_assignment(spark):
+    from etl_spark.text.pack import pack_greedy, pack_stats
+
+    rows = [(0, "s", 60), (1, "s", 50), (2, "s", 10), (3, "s", 100), (4, "t", 120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_greedy(df, "doc_id", "n_tok", 100, "source").collect()}
+    # source s cumsum starts: 0, 60, 110, 120 -> packs 0,0,1,1
+    assert got[0] == (0, 0) and got[1] == (0, 60)
+    assert got[2] == (1, 10) and got[3] == (1, 20)
+    assert got[4] == (0, 0)  # independent per source
+    stats = {(r["source"], r["pack_id"]): (r["n_docs"], r["tokens_started"])
+             for r in pack_stats(df, "doc_id", "n_tok", 100, "source").collect()}
+    assert stats[("s", 0)] == (2, 110) and stats[("s", 1)] == (2, 110)
+    assert stats[("t", 0)] == (1, 120)
+
+
+def test_stratified_sample_exact_n_and_stable(spark):
+    from etl_spark.ops.sample import stratified_sample
+
+    rows = [(i, "g1" if i < 50 else "g2") for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = stratified_sample(df, "k", "g", 7, salt="x")
+    by_g = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert by_g == {"g1": 7, "g2": 7}
+    # undersized group: keeps everything
+    assert stratified_sample(df, "k", "g", 100, salt="x").count() == 60
+    # deterministic + unchanged groups keep their selection when a NEW
+    # group appears
+    sel1 = {r["k"] for r in out.filter(F.col("g") == "g1").collect()}
+    grown = spark.createDataFrame(rows + [(100 + i, "g3") for i in range(5)], "k long, g string")
+    out2 = stratified_sample(grown, "k", "g", 7, salt="x")
+    assert {r["k"] for r in out2.filter(F.col("g") == "g1").collect()} == sel1
