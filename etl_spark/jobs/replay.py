@@ -61,7 +61,67 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream mode: run maintenance (version expiry, MOR "
                         "compaction) every N applied epochs")
     p.add_argument("--keep-versions", type=int, default=4)
+    p.add_argument("--pipeline", default=None,
+                   help="JSON file declaring downstream derived tables kept "
+                        "current from the change feed, e.g. "
+                        '{"downstream": [{"kind": "mirror", "table": "/lake/m"}, '
+                        '{"kind": "agg", "table": "/lake/by_lang", '
+                        '"group_cols": ["lang"], "sum_cols": []}]} — '
+                        "mirrors sync row-level; aggs maintain count/sum "
+                        "materialized views (etl_spark.lake.incremental)")
     return p
+
+
+def build_downstream(spark, src_table, pipeline_path: str):
+    """Parse a pipeline JSON into (hooks, tables): downstream tables
+    are created on first run (mirror = src schema; agg = group cols
+    from the src schema + n + sum_<col>), then each applied epoch
+    syncs them through the change feed — every hop exactly-once via
+    its own atomic watermark."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.incremental import sync, sync_agg
+    from etl_spark.lake.table import LakeTable
+
+    with open(pipeline_path) as f:
+        cfg = json.load(f)
+    hooks, tables = [], []
+    src_schema = src_table.schema()
+    user_fields = {
+        f.name: f for f in src_schema.fields
+        if f.name not in (src_table.seq_col, "_deleted", "_cv")
+    }
+    for spec in cfg.get("downstream", []):
+        kind, root = spec["kind"], spec["table"]
+        if kind == "mirror":
+            if not LakeTable.exists(root):
+                dst = LakeTable.create(
+                    spark, root, T.StructType(list(user_fields.values())),
+                    src_table.key_cols, seq_col=src_table.seq_col,
+                    n_buckets=spec.get("n_buckets", src_table.n_buckets),
+                )
+            else:
+                dst = LakeTable(spark, root)
+            hooks.append(lambda t, d=dst: sync(t, d))
+        elif kind == "agg":
+            gcols = spec["group_cols"]
+            scols = spec.get("sum_cols", [])
+            if not LakeTable.exists(root):
+                fields = [user_fields[g] for g in gcols]
+                fields.append(T.StructField("n", T.LongType(), True))
+                for c in scols:
+                    fields.append(T.StructField(f"sum_{c}", T.LongType(), True))
+                dst = LakeTable.create(
+                    spark, root, T.StructType(fields), gcols,
+                    seq_col=src_table.seq_col, n_buckets=spec.get("n_buckets", 16),
+                )
+            else:
+                dst = LakeTable(spark, root)
+            hooks.append(lambda t, d=dst, g=gcols, s=scols: sync_agg(t, d, g, s))
+        else:
+            raise SystemExit(f"unknown downstream kind: {kind!r}")
+        tables.append(dst)
+    return hooks, tables
 
 
 def ensure_table(spark, args):
@@ -132,6 +192,9 @@ def main(argv=None) -> int:
     table = ensure_table(spark, args)
     v_before = table.current_version()
     epochs_before = len(table.committed_epochs())
+    hooks, derived_tables = (
+        build_downstream(spark, table, args.pipeline) if args.pipeline else ([], [])
+    )
     t0 = time.time()
 
     if args.mode == "stream":
@@ -143,6 +206,7 @@ def main(argv=None) -> int:
             lineage_ranges=args.lineage_ranges,
             maintain_every=args.maintain_every,
             keep_versions=args.keep_versions,
+            downstream=hooks,
         )
         if args.continuous:
             q = stream.start(spark, args.wal,
@@ -157,6 +221,8 @@ def main(argv=None) -> int:
         for ep, (files, sch) in enumerate(wal_schema_phases(args.wal)):
             batch = spark.read.schema(sch).parquet(*files)
             R.apply_batch(table, batch, epoch=ep, salted=args.salted)
+            for hook in hooks:
+                hook(table)
 
     if args.compact:
         table.compact()
@@ -174,6 +240,10 @@ def main(argv=None) -> int:
         "epochs_total": len(epochs_after),
         "epochs_applied": len(epochs_after) - epochs_before,
         "rows": rows,
+        "derived": [
+            {"table": d.root, "version": d.current_version(), "rows": d.row_count()}
+            for d in derived_tables
+        ],
     }
     print(json.dumps(metrics))
     return 0

@@ -701,13 +701,21 @@ class LakeTable:
                 "mode": "mor", "delta_buckets": sorted(int(b) for b in out)}
 
     def compact(self) -> int:
-        """Fold all deltas into a new base (the deferred COW merge):
-        one resolve over base+deltas, bucket-aligned write, deltas
-        cleared. Readers before/after see identical data."""
+        """Fold all deltas into the base (the deferred COW merge) —
+        PARTIALLY: only buckets some delta actually touches are
+        resolved and rewritten; every other base bucket is carried
+        forward by manifest pointer. A long-running MOR stream whose
+        deltas concentrate on hot buckets compacts in O(touched
+        buckets), not O(table) — the same dirty-bucket economics as
+        the COW merge itself. Readers before/after see identical
+        data."""
         m = self.manifest()
         if not m.get("deltas"):
             return m["version"]
-        resolved = self.read(include_tombstones=True).withColumn(
+        touched = {
+            int(b) for d in m["deltas"] for b in d["buckets"]
+        }
+        resolved = self.read(buckets=touched, include_tombstones=True).withColumn(
             _BUCKET, self._bucket_expr(self.key_cols)
         )
         v = m["version"] + 1
@@ -715,7 +723,11 @@ class LakeTable:
         written = self._write_buckets(resolved, v, schema)
         for ent in written.values():
             ent["sid"] = m["current_schema_id"]
-        m2 = {**m, "version": v, "parent": m["version"], "buckets": written,
+        new_buckets = dict(m["buckets"])
+        for b in touched:
+            new_buckets.pop(str(b), None)  # a touched bucket may end all-deleted
+        new_buckets.update(written)
+        m2 = {**m, "version": v, "parent": m["version"], "buckets": new_buckets,
               "deltas": [], "committed_at": time.time(), "note": "compact"}
         return self._commit(m2)
 

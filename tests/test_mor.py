@@ -139,3 +139,35 @@ def test_stream_drain_into_mor_table(spark, tmp_path):
         .orderBy("repo", "path").toPandas().reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_compact_is_partial(spark, tmp_path):
+    """Compaction rewrites ONLY delta-touched buckets: untouched base
+    bucket pointers survive by manifest reference (O(touched), not
+    O(table))."""
+    from pyspark.sql import types as T
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.StringType(), False),
+                      T.StructField("v", T.IntegerType(), True)]),
+        ["k"], n_buckets=64, write_mode="mor",
+    )
+
+    def src(rows):
+        return spark.createDataFrame(rows, "k string, v int, op string, seq long")
+
+    # seed broadly (every bucket has base data), then delta ONE key
+    t.merge_cdc(src([(f"k{i}", i, "insert", i) for i in range(300)]), epoch=0)
+    t.compact()  # establish a delta-free base
+    m_base = t.manifest()
+    t.merge_cdc(src([("k0", 999, "update", 1000)]), epoch=1)
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+    t.compact()
+    m_after = t.manifest()
+    assert m_after.get("deltas") == []
+    changed = [b for b in m_base["buckets"]
+               if m_after["buckets"][b]["path"] != m_base["buckets"][b]["path"]]
+    assert len(changed) == 1  # only the delta-touched bucket rewrote
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+    assert ("k0", 999) in before

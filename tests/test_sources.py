@@ -158,3 +158,45 @@ def test_conditional_refresh_lifecycle(spark, tmp_path):
     # force bypasses the etag fence but not the checksum fence
     r5 = src.refresh(force=True)
     assert r5["refreshed"] is False and r5["reason"] == "content_match"
+
+
+def test_replay_job_with_pipeline(spark, tmp_path):
+    """--pipeline keeps declared downstream tables current during the
+    replay: a row-level mirror and a per-lang count view, both equal to
+    their full recompute at the end; rerun applies nothing anywhere."""
+    import json as _json
+
+    import pandas as pd
+
+    from etl_spark.cdc.generator import generate_events, oracle_final_state, write_event_log
+    from etl_spark.jobs.replay import main
+    from etl_spark.lake.table import LakeTable
+
+    wal = str(tmp_path / "wal")
+    write_event_log(spark, wal, 4000, files=3)
+    cfg = {
+        "downstream": [
+            {"kind": "mirror", "table": str(tmp_path / "mirror")},
+            {"kind": "agg", "table": str(tmp_path / "bylang"), "group_cols": ["lang"]},
+        ]
+    }
+    pipe = tmp_path / "pipeline.json"
+    pipe.write_text(_json.dumps(cfg))
+    argv = ["--wal", wal, "--table", str(tmp_path / "tbl"), "--mode", "batch",
+            "--n-buckets", "8", "--pipeline", str(pipe)]
+    assert main(argv) == 0
+
+    exp = oracle_final_state(generate_events(spark, 4000).toPandas())
+    mirror = LakeTable(spark, str(tmp_path / "mirror"))
+    got = (mirror.read().select("repo", "path", "content_sha256")
+           .orderBy("repo", "path").toPandas().reset_index(drop=True))
+    assert list(got["content_sha256"]) == list(exp["content_sha256"])
+    agg = LakeTable(spark, str(tmp_path / "bylang"))
+    want = {(None if pd.isna(k) else k): int(v)
+            for k, v in exp.groupby("lang", dropna=False).size().items()}
+    assert {r["lang"]: r["n"] for r in agg.read().collect()} == want
+
+    # rerun: every hop fenced/watermarked, versions unchanged
+    vs = (mirror.current_version(), agg.current_version())
+    assert main(argv) == 0
+    assert (mirror.current_version(), agg.current_version()) == vs
