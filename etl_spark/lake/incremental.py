@@ -48,10 +48,29 @@ def change_feed(src: LakeTable, v_from: int, v_to: int | None = None) -> DataFra
     )
 
 
+def _with_conflict_retry(body, max_retries: int):
+    """Optimistic-concurrency loop for a whole sync body: on a dst
+    commit conflict the ENTIRE body re-runs (the body reads dst state
+    — watermark, current aggregates — so retrying only the inner merge
+    would replay a stale snapshot; recomputation is the correct unit).
+    Safe because each body attempt is itself exactly-once (atomic
+    watermark + epoch fence)."""
+    from etl_spark.lake.table import CommitConflictError
+
+    last: Exception | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return body()
+        except CommitConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
 def sync(
     src: LakeTable,
     dst: LakeTable,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    max_retries: int = 3,
 ) -> dict:
     """One incremental step: apply ``src``'s changes since the last
     sync to ``dst``.
@@ -62,8 +81,12 @@ def sync(
     the transform drops simply stops receiving updates; to propagate
     drops as deletes, rewrite ``op`` instead of filtering). Schema
     additions evolve ``dst`` transactionally with the batch like any
-    merge.
-    """
+    merge. A concurrent commit to ``dst`` retries the whole sync
+    (``max_retries``)."""
+    return _with_conflict_retry(lambda: _sync_once(src, dst, transform), max_retries)
+
+
+def _sync_once(src, dst, transform) -> dict:
     v_from = int(dst.properties.get(SYNC_PROP, 0))
     v_to = src.current_version()
     if v_to <= v_from:
@@ -87,6 +110,7 @@ def sync_agg(
     dst: LakeTable,
     group_cols: list[str],
     sum_cols: list[str] | None = None,
+    max_retries: int = 3,
 ) -> dict:
     """Incremental materialized aggregate: maintain per-group ``n``
     (live-row count) and ``sum_<col>`` columns in ``dst`` from
@@ -104,13 +128,22 @@ def sync_agg(
     cannot be safely re-applied, so the sync watermark commits IN THE
     SAME atomic manifest write as the merged data (``extra_manifest``)
     — there is no crash window where data moved but the watermark
-    didn't. Single writer per ``dst`` assumed (as for any merge).
+    didn't. A concurrent commit to ``dst`` loses the optimistic race
+    cleanly and the WHOLE sync recomputes (``max_retries``) — the
+    inner merge alone must never retry, because the delta was joined
+    against a now-stale aggregate snapshot.
 
     ``sum_cols`` should be exact types (long/decimal): float sums
     would accumulate in a different order than a full recompute.
     ``dst`` must be keyed by ``group_cols`` with columns
     ``group_cols + [n] + [sum_<c> ...]``.
     """
+    return _with_conflict_retry(
+        lambda: _sync_agg_once(src, dst, group_cols, sum_cols), max_retries
+    )
+
+
+def _sync_agg_once(src, dst, group_cols, sum_cols) -> dict:
     sum_cols = sum_cols or []
     v_from = int(dst.properties.get(SYNC_PROP, 0))
     v_to = src.current_version()

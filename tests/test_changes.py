@@ -516,3 +516,48 @@ def test_bucket_stats_recorded(spark, tmp_path):
         assert e["min_seq"] <= e["max_seq"]
         seqs.add((e["min_seq"], e["max_seq"]))
     assert max(mx for _, mx in seqs) == 20
+
+
+def test_sync_conflict_retry_recomputes(spark, tmp_path):
+    """A losing optimistic commit on dst retries the WHOLE sync body
+    (recomputed against the winner's state), and converges."""
+    from etl_spark.lake.incremental import sync, sync_agg
+    from etl_spark.lake.table import CommitConflictError
+
+    src = _agg_src(spark, tmp_path)
+    dst = _agg_dst(spark, tmp_path)
+    src.merge_cdc(_agg_rows(spark, [("a", "g1", 10, "insert", 1)]))
+
+    real = dst.merge_cdc
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CommitConflictError("injected concurrent commit")
+        return real(*a, **kw)
+
+    dst.merge_cdc = flaky
+    s = sync_agg(src, dst, ["grp"], ["metric"])
+    assert s["skipped"] is False and calls["n"] == 2
+    assert {(r["grp"], r["n"], r["sum_metric"]) for r in dst.read().collect()} == {("g1", 1, 10)}
+    dst.merge_cdc = real
+
+    # row-level sync: same contract
+    mirror = _agg_src(spark, tmp_path, name="mirror")
+    realm = mirror.merge_cdc
+    calls2 = {"n": 0}
+
+    def flaky2(*a, **kw):
+        calls2["n"] += 1
+        if calls2["n"] == 1:
+            raise CommitConflictError("injected")
+        return realm(*a, **kw)
+
+    mirror.merge_cdc = flaky2
+    assert sync(src, mirror)["skipped"] is False
+    assert calls2["n"] == 2
+    from etl_spark.ops.diff import frames_equal
+
+    mirror.merge_cdc = realm
+    assert frames_equal(mirror.read(), src.read(), keys=["k"])
