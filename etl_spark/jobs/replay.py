@@ -36,10 +36,11 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="CDC replay: WAL -> lake table")
-    p.add_argument("--wal", required=True, help="WAL directory (ordered parquet)")
+    p.add_argument("--wal", help="WAL directory (ordered parquet; stream/batch modes)")
     p.add_argument("--table", required=True, help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (stream mode)")
-    p.add_argument("--mode", choices=["stream", "batch"], default="stream")
+    p.add_argument("--mode", choices=["stream", "batch", "backport"], default="stream")
+    p.add_argument("--out", help="backport mode: directory for the emitted event frame")
     p.add_argument("--continuous", action="store_true",
                    help="stream mode: tail forever instead of drain-and-stop")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -189,6 +190,32 @@ def main(argv=None) -> int:
     from etl_spark.sources.wal import wal_schema_phases
     from etl_spark.streaming.driver import CdcStream
 
+    if args.mode == "backport":
+        # reverse path: emit a replayable WAL from the table snapshot
+        # (live rows as upserts, tombstones as deletes, original seqs)
+        from etl_spark.lake.table import LakeTable
+
+        if not args.out:
+            print("--out is required in backport mode", file=sys.stderr)
+            return 2
+        if not LakeTable.exists(args.table):
+            print(f"no table at {args.table}", file=sys.stderr)
+            return 2
+        t0 = time.time()
+        tbl = LakeTable(spark, args.table)
+        ev = tbl.backport_events()
+        ev.write.mode("error").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "mode": "backport", "table": args.table, "out": args.out,
+            "events": int(n), "version": tbl.current_version(),
+            "seconds": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if not args.wal:
+        print("--wal is required in stream/batch modes", file=sys.stderr)
+        return 2
     table = ensure_table(spark, args)
     v_before = table.current_version()
     epochs_before = len(table.committed_epochs())

@@ -162,6 +162,7 @@ class LakeTable:
         properties: dict | None = None,
         derived: dict[str, tuple[str, str]] | None = None,
         write_mode: str = "cow",
+        bloom_cols: list[str] | None = None,
     ) -> "LakeTable":
         """``derived`` declares engine-maintained columns computed on
         merge winners, e.g. {"content_sha256": ("sha256", "content")}.
@@ -173,7 +174,13 @@ class LakeTable:
 
         ``write_mode``: "cow" (default) resolves each merge into the
         base immediately; "mor" appends batch deltas (O(batch) ingest)
-        and resolves at read time — compact() folds them down."""
+        and resolves at read time — compact() folds them down.
+
+        ``bloom_cols``: write parquet bloom filters for these columns
+        (typically the key columns). Point lookups then skip row
+        groups whose bloom provably excludes the probed keys — the
+        within-bucket complement to hash-bucket pruning. Costs file
+        size; opt in where point reads matter."""
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
         t = cls(spark, root)
@@ -209,6 +216,7 @@ class LakeTable:
             "properties": properties or {},
             "derived": {k: list(v) for k, v in (derived or {}).items()},
             "write_mode": write_mode,
+            "bloom_cols": list(bloom_cols or []),
             "deltas": [],
             "max_seq": None,
             "committed_at": time.time(),
@@ -294,12 +302,20 @@ class LakeTable:
                 out = out.drop(_CV)
         return out
 
-    def read_keys(self, keys: list[tuple]) -> DataFrame:
+    def read_keys(self, keys: list[tuple], pushdown_limit: int = 64) -> DataFrame:
         """Point lookup: read ONLY the buckets the given key tuples
         hash to, then filter to those keys — O(touched buckets), not
         O(table). Bucket ids come from one tiny local job evaluating
         the exact engine hash (pmod(murmur3)) over the literal keys,
-        so Python never re-implements Spark's hash."""
+        so Python never re-implements Spark's hash.
+
+        Up to ``pushdown_limit`` keys, the filter is a LITERAL
+        OR-of-equalities instead of a semi join: Catalyst pushes it to
+        the parquet scan, so row-group min/max stats AND the table's
+        bloom filters (``bloom_cols``) skip data inside the touched
+        buckets — the semi join form reads every row group. Larger key
+        sets fall back to the broadcast semi join (a giant pushed OR
+        would bloat the plan)."""
         if not keys:
             return self.read().limit(0)
         kcols = self.key_cols
@@ -313,6 +329,16 @@ class LakeTable:
             lit_df.select(self._bucket_expr(kcols).alias("b")).distinct().collect()
         }
         df = self.read(buckets=buckets)
+        if len(keys) <= pushdown_limit:
+            import functools
+
+            def tup(kt):
+                return functools.reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == F.lit(v) for c, v in zip(kcols, kt)],
+                )
+
+            return df.filter(functools.reduce(lambda a, b: a | b, [tup(k) for k in keys]))
         probe = lit_df.select(*kcols)
         return df.join(F.broadcast(probe), kcols, "left_semi")
 
@@ -495,7 +521,9 @@ class LakeTable:
         out_df = df.select(F.col(_BUCKET), *ordered)
         if not pre_partitioned:
             out_df = out_df.repartition(self.n_buckets, F.col(_BUCKET))
-        out_df.write.partitionBy(_BUCKET).mode("overwrite").parquet(data_dir)
+        self._apply_write_options(out_df.write).partitionBy(_BUCKET).mode(
+            "overwrite"
+        ).parquet(data_dir)
         out = {}
         for d in os.listdir(data_dir):
             if d.startswith(f"{_BUCKET}="):
@@ -546,6 +574,13 @@ class LakeTable:
 
     def _bucket_keys_expr(self, schema: T.StructType):
         return F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets))
+
+    def _apply_write_options(self, writer):
+        """Per-column parquet bloom filters for the manifest's
+        ``bloom_cols`` — row-group skipping for point lookups."""
+        for c in self.manifest().get("bloom_cols", []):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        return writer
 
     def _commit(self, new_manifest: dict) -> int:
         v = new_manifest["version"]
@@ -655,9 +690,9 @@ class LakeTable:
         # unique per attempt — same concurrency rationale as _write_buckets
         delta_dir = os.path.join(self.root, "delta", f"v{v}-{uuid.uuid4().hex[:8]}")
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in new_schema.fields]
-        kept.select(F.col(_BUCKET), *ordered).write.partitionBy(_BUCKET).mode(
-            "overwrite"
-        ).parquet(delta_dir)
+        self._apply_write_options(
+            kept.select(F.col(_BUCKET), *ordered).write
+        ).partitionBy(_BUCKET).mode("overwrite").parquet(delta_dir)
         out = {}
         for d in os.listdir(delta_dir):
             if d.startswith(f"{_BUCKET}="):

@@ -582,3 +582,41 @@ def test_tags_pin_and_survive_expiry(spark, tmp_path):
     assert t.tags() == {}
     with pytest.raises(KeyError):
         t.resolve_tag("training-run-7")
+
+
+def test_bloom_cols_written_and_read_keys_pushdown(spark, tmp_path):
+    """bloom_cols adds parquet bloom filters (visible as strictly
+    larger files for identical data); small read_keys probes compile
+    to a literal pushed filter (row-group skippable), large ones fall
+    back to the broadcast semi join. Both return exactly the probed
+    keys."""
+    rows = [(f"k{i}", i, "insert", i) for i in range(500)]
+
+    def mk(name, **kw):
+        t = LakeTable.create(spark, str(tmp_path / name), _schema(), ["k"],
+                             n_buckets=2, **kw)
+        t.merge_cdc(_src(spark, rows), epoch=0)
+        return t
+
+    plain, bloom = mk("plain"), mk("bloom", bloom_cols=["k"])
+
+    def data_bytes(t):
+        total = 0
+        for ent in t.manifest()["buckets"].values():
+            d = ent["path"]
+            total += sum(os.path.getsize(os.path.join(d, f))
+                         for f in os.listdir(d) if f.endswith(".parquet"))
+        return total
+
+    assert data_bytes(bloom) > data_bytes(plain)
+
+    probe = [("k3",), ("k77",), ("k499",)]
+    got = {r["k"]: r["v"] for r in bloom.read_keys(probe).collect()}
+    assert got == {"k3": 3, "k77": 77, "k499": 499}
+    plan = bloom.read_keys(probe)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(k," in plan
+
+    big_probe = [(f"k{i}",) for i in range(200)]
+    assert bloom.read_keys(big_probe).count() == 200
+    plan_big = bloom.read_keys(big_probe)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan_big  # fallback path

@@ -200,3 +200,24 @@ def test_replay_job_with_pipeline(spark, tmp_path):
     vs = (mirror.current_version(), agg.current_version())
     assert main(argv) == 0
     assert (mirror.current_version(), agg.current_version()) == vs
+
+
+def test_replay_job_backport_mode(spark, tmp_path):
+    """--mode backport emits a replayable WAL from the table; batch-
+    replaying that WAL into a FRESH table reproduces the state."""
+    from etl_spark.cdc.generator import write_event_log
+    from etl_spark.jobs.replay import main
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.ops.diff import table_checksum
+
+    wal = str(tmp_path / "wal")
+    write_event_log(spark, wal, 3000, files=2)
+    t1 = str(tmp_path / "t1")
+    assert main(["--wal", wal, "--table", t1, "--mode", "batch", "--n-buckets", "4"]) == 0
+    out = str(tmp_path / "backport_wal")
+    assert main(["--table", t1, "--mode", "backport", "--out", out]) == 0
+    t2 = str(tmp_path / "t2")
+    assert main(["--wal", out, "--table", t2, "--mode", "batch", "--n-buckets", "8"]) == 0
+    a = LakeTable(spark, t1)
+    b = LakeTable(spark, t2)
+    assert table_checksum(a.read()) == table_checksum(b.read())
