@@ -135,6 +135,24 @@ def run_queries(spark) -> dict[str, float]:
     n = lsh_candidate_pairs(docs, k=8, bands=4, use_xxhash=True).count()
     out["minhash_lsh_xxhash"] = round(time.time() - t0, 3)
     print(f"  minhash_lsh_xxhash: {out['minhash_lsh_xxhash']}s ({n} rows)", file=sys.stderr)
+    # production (xxhash) forms of the corpus-cleaning ops — the md5
+    # headline entries above are the oracle-portable forms
+    from pyspark.sql import functions as F
+
+    from etl_spark.text.contamination import contamination
+    from etl_spark.text.lines import strip_boilerplate
+
+    t0 = time.time()
+    n = contamination(
+        docs.filter(F.col("doc_id") % 37 != 0), docs.filter(F.col("doc_id") % 37 == 0),
+        "doc_id", "text", n=8, use_xxhash=True,
+    ).count()
+    out["contamination_xxhash"] = round(time.time() - t0, 3)
+    print(f"  contamination_xxhash: {out['contamination_xxhash']}s ({n} rows)", file=sys.stderr)
+    t0 = time.time()
+    n = strip_boilerplate(docs, "doc_id", "text", min_docs=2, n_words=8, use_xxhash=True).count()
+    out["line_dedup_xxhash"] = round(time.time() - t0, 3)
+    print(f"  line_dedup_xxhash: {out['line_dedup_xxhash']}s ({n} rows)", file=sys.stderr)
     return out
 
 

@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 from etl_spark.text.lines import _line_key
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, use_xxhash: bool = False
+) -> DataFrame:
     """Sliding word n-grams: one row per (id, shingle_key, shingle).
     Documents shorter than ``n`` words yield their full text as the
     single shingle (so short docs are still screenable)."""
@@ -33,7 +35,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> Data
     )
     return df.select(
         F.col(id_col), F.explode(grams).alias("shingle")
-    ).withColumn("shingle_key", _line_key(F.col("shingle")))
+    ).withColumn("shingle_key", _line_key(F.col("shingle"), use_xxhash))
 
 
 def contamination(
@@ -42,16 +44,20 @@ def contamination(
     id_col: str,
     text_col: str,
     n: int = 8,
+    use_xxhash: bool = False,
 ) -> DataFrame:
     """Per-corpus-document contamination report: (id,
     n_contaminated_ngrams) for documents sharing >= 1 distinct word
-    n-gram with any benchmark document; clean documents are absent."""
+    n-gram with any benchmark document; clean documents are absent.
+    ``use_xxhash`` switches shingle identity to xxhash64 — the
+    production path (codegen hash, same pipeline; md5 is the
+    oracle-portable form)."""
     bench = (
-        word_shingles(benchmark, id_col, text_col, n)
+        word_shingles(benchmark, id_col, text_col, n, use_xxhash)
         .select("shingle_key")
         .distinct()
     )
-    hits = word_shingles(corpus, id_col, text_col, n).join(
+    hits = word_shingles(corpus, id_col, text_col, n, use_xxhash).join(
         F.broadcast(bench), "shingle_key", "left_semi"
     )
     return hits.groupBy(id_col).agg(

@@ -29,10 +29,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _line_key(col):
-    """60-bit integer from md5 — cross-engine reproducible line
-    identity (first 15 hex chars; 60 bits keeps the value positive in
-    a signed 64-bit long in every engine)."""
+def _line_key(col, use_xxhash: bool = False):
+    """Line identity key. Default: 60-bit integer from md5 —
+    cross-engine reproducible (first 15 hex chars; 60 bits keeps the
+    value positive in a signed 64-bit long in every engine), the form
+    the DuckDB oracle replays. ``use_xxhash``: xxhash64 (one JVM
+    codegen instruction vs a cryptographic hash) — the production
+    path; same pipeline shape, measured faster, not oracle-portable."""
+    if use_xxhash:
+        return F.xxhash64(col)
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
@@ -59,11 +64,13 @@ def word_chunk_lines(df: DataFrame, id_col: str, text_col: str, n_words: int = 8
     )
 
 
-def boilerplate_lines(lines: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+def boilerplate_lines(
+    lines: DataFrame, id_col: str, min_docs: int, use_xxhash: bool = False
+) -> DataFrame:
     """Distinct line keys occurring in >= ``min_docs`` distinct
     documents, with their document frequency: (line_key, n_docs)."""
     return (
-        lines.groupBy(_line_key(F.col("line")).alias("line_key"))
+        lines.groupBy(_line_key(F.col("line"), use_xxhash).alias("line_key"))
         .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
@@ -76,6 +83,7 @@ def strip_boilerplate(
     min_docs: int,
     sep: str = "\n",
     n_words: int | None = None,
+    use_xxhash: bool = False,
 ) -> DataFrame:
     """Remove boilerplate lines and rebuild each document.
 
@@ -88,8 +96,8 @@ def strip_boilerplate(
     else:
         lines = split_lines(df, id_col, text_col, sep)
         joiner = sep
-    boiler = boilerplate_lines(lines, id_col, min_docs).select("line_key")
-    keyed = lines.withColumn("line_key", _line_key(F.col("line")))
+    boiler = boilerplate_lines(lines, id_col, min_docs, use_xxhash).select("line_key")
+    keyed = lines.withColumn("line_key", _line_key(F.col("line"), use_xxhash))
     kept_flag = keyed.join(
         F.broadcast(boiler).withColumn("__boiler", F.lit(True)), "line_key", "left"
     )

@@ -157,3 +157,25 @@ def test_stratified_sample_exact_n_and_stable(spark):
     grown = spark.createDataFrame(rows + [(100 + i, "g3") for i in range(5)], "k long, g string")
     out2 = stratified_sample(grown, "k", "g", 7, salt="x")
     assert {r["k"] for r in out2.filter(F.col("g") == "g1").collect()} == sel1
+
+
+def test_xxhash_scale_paths_equal_md5_results(spark):
+    """The production xxhash64 identity paths produce the SAME
+    results as the oracle-verified md5 paths (only key representation
+    differs)."""
+    from etl_spark.text.contamination import contamination
+
+    docs = _docs(spark)
+    a = strip_boilerplate(docs, "doc_id", "text", min_docs=3)
+    b = strip_boilerplate(docs, "doc_id", "text", min_docs=3, use_xxhash=True)
+    ra = {(r["doc_id"], r["n_removed"], r["text"]) for r in a.collect()}
+    rb = {(r["doc_id"], r["n_removed"], r["text"]) for r in b.collect()}
+    assert ra == rb
+
+    bench = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    ca = {(r["doc_id"], r["n_contaminated_ngrams"])
+          for r in contamination(corpus, bench, "doc_id", "text", n=3).collect()}
+    cb = {(r["doc_id"], r["n_contaminated_ngrams"])
+          for r in contamination(corpus, bench, "doc_id", "text", n=3, use_xxhash=True).collect()}
+    assert ca == cb and ca
