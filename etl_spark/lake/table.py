@@ -1239,6 +1239,54 @@ class LakeTable:
               "committed_at": time.time(), "note": f"purge_tombstones<={watermark_seq}"}
         return self._commit(m2)
 
+    def advise(
+        self,
+        compact_deltas_over: int = 8,
+        tombstone_frac_over: float = 0.2,
+        rebucket_rows_over: int = 50_000_000,
+        expire_versions_over: int = 16,
+    ) -> list[dict]:
+        """Maintenance advisor — recommendations from the MANIFEST
+        alone (no data IO): compact when the MOR delta chain is long,
+        purge when retained tombstones dominate live rows, rebucket
+        when the average bucket outgrows its COW rewrite budget,
+        expire when the version chain holds many unreferenced data
+        dirs. Each row: {action, reason}; apply with the corresponding
+        method. The streaming driver's ``maintain_every`` automates
+        the first two; this surfaces the same signals for batch
+        operators."""
+        m = self.manifest()
+        out = []
+        n_deltas = len(m.get("deltas", []))
+        if n_deltas > compact_deltas_over:
+            out.append({"action": "compact", "reason":
+                        f"{n_deltas} read-time deltas (> {compact_deltas_over})"})
+        live = sum(b.get("rows", 0) for b in m["buckets"].values())
+        dead = sum(b.get("tombstones", 0) for b in m["buckets"].values())
+        if live + dead and dead / (live + dead) > tombstone_frac_over:
+            out.append({"action": "purge_tombstones", "reason":
+                        f"{dead} tombstones vs {live} live rows "
+                        f"({dead / (live + dead):.0%} > {tombstone_frac_over:.0%}); "
+                        "pass the consumer watermark seq"})
+        if m["buckets"]:
+            avg = live / max(len(m["buckets"]), 1)
+            if avg > rebucket_rows_over:
+                out.append({"action": "rebucket", "reason":
+                            f"avg {avg:.0f} live rows/bucket (> {rebucket_rows_over}); "
+                            f"COW rewrite unit too large at {m['n_buckets']} buckets"})
+        chain = 0
+        v = m.get("parent")
+        while v is not None:
+            chain += 1
+            try:
+                v = self.manifest(v).get("parent")
+            except FileNotFoundError:
+                break
+        if chain > expire_versions_over:
+            out.append({"action": "expire_versions", "reason":
+                        f"{chain} retained parent versions (> {expire_versions_over})"})
+        return out
+
     def expire_versions(self, keep_last: int = 2) -> None:
         """Drop data/delta dirs only referenced by expired manifests.
         Tagged versions are always retained (a tag is a promise the

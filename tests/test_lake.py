@@ -620,3 +620,26 @@ def test_bloom_cols_written_and_read_keys_pushdown(spark, tmp_path):
     assert bloom.read_keys(big_probe).count() == 200
     plan_big = bloom.read_keys(big_probe)._jdf.queryExecution().executedPlan().toString()
     assert "Join" in plan_big  # fallback path
+
+
+def test_advise_surfaces_maintenance_signals(spark, tmp_path):
+    """The advisor reads only the manifest: long delta chains ->
+    compact; tombstone-heavy tables -> purge; deep version chains ->
+    expire; quiet tables -> no advice."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"],
+                         n_buckets=2, write_mode="mor")
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]))
+    assert t.advise() == []
+    for i in range(2, 12):
+        t.merge_cdc(_src(spark, [("a", i, "update", i)]))
+    actions = {a["action"] for a in t.advise(compact_deltas_over=8)}
+    assert "compact" in actions
+    t.compact()
+    # delete most keys -> tombstones dominate
+    t.merge_cdc(_src(spark, [("a", None, "delete", 100)]))
+    t.compact()
+    actions = {a["action"] for a in t.advise(tombstone_frac_over=0.2)}
+    assert "purge_tombstones" in actions
+    assert "compact" not in actions
+    actions = {a["action"] for a in t.advise(expire_versions_over=3)}
+    assert "expire_versions" in actions
