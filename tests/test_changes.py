@@ -561,3 +561,28 @@ def test_sync_conflict_retry_recomputes(spark, tmp_path):
 
     mirror.merge_cdc = realm
     assert frames_equal(mirror.read(), src.read(), keys=["k"])
+
+
+def test_changes_since_across_schema_evolution(spark, tmp_path):
+    """The feed is emitted in the v_to schema: a column added between
+    v_from and v_to appears for all emitted rows (NULL where the
+    winning event predates the evolution), and sync propagates the
+    evolution into the downstream table transactionally."""
+    from etl_spark.lake.incremental import sync
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    dst = LakeTable.create(spark, str(tmp_path / "d"), _schema(), ["k"], n_buckets=2)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]))
+    sync(t, dst)
+    v1 = t.current_version()
+    # evolution: epoch 2 adds column w (and only touches 'a')
+    t.merge_cdc(spark.createDataFrame(
+        [("a", 10, "W", "update", 3)], "k string, v int, w string, op string, seq long"
+    ))
+    cs = t.changes_since(v1)
+    assert "w" in cs.columns
+    got = {r["k"]: (r["v"], r["w"]) for r in cs.collect()}
+    assert got == {"a": (10, "W")}
+    sync(t, dst)
+    assert "w" in dst.read().columns  # evolution flowed downstream
+    assert {r["k"]: r["w"] for r in dst.read().collect()} == {"a": "W", "b": None}
