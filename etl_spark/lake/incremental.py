@@ -33,6 +33,32 @@ from etl_spark.lake.table import LakeTable
 SYNC_PROP = "sync_from_version"
 
 
+def _consumer_pin(dst: LakeTable) -> str:
+    """Stable per-consumer pin name on the SOURCE table, derived from
+    the destination's identity. One file per consumer (see
+    LakeTable.pin), so many downstream syncs never race each other."""
+    import hashlib
+    import os
+
+    root = os.path.abspath(dst.root)
+    return f"sync:{os.path.basename(root)}:{hashlib.sha256(root.encode()).hexdigest()[:10]}"
+
+
+def _advance_pin(src: LakeTable, dst: LakeTable, v_to: int) -> None:
+    """Move the consumer's retention watermark on src to the version
+    this sync just caught up to — the NEXT sync's ``changes(v_from)``
+    preimage read needs exactly that manifest + data, so
+    ``src.expire_versions`` must not collect it however far keep_last
+    advances. Runs happens-after the dst commit: a crash in between
+    leaves the pin one sync behind (over-retains nothing dangerous; the
+    next successful sync re-advances it). keep_last is the backstop for
+    that tiny window."""
+    try:
+        src.pin(_consumer_pin(dst), v_to)
+    except FileNotFoundError:
+        pass  # src version raced away (compaction chain); next sync re-pins
+
+
 def change_feed(src: LakeTable, v_from: int, v_to: int | None = None) -> DataFrame:
     """The upstream change feed in merge_cdc source shape: user columns
     + ``op`` ('upsert'|'delete') + ``seq``. ``v_from=0`` yields the
@@ -54,15 +80,23 @@ def _with_conflict_retry(body, max_retries: int):
     — watermark, current aggregates — so retrying only the inner merge
     would replay a stale snapshot; recomputation is the correct unit).
     Safe because each body attempt is itself exactly-once (atomic
-    watermark + epoch fence)."""
+    watermark + epoch fence). Randomized exponential backoff between
+    attempts de-synchronizes concurrent syncs racing the same dst —
+    without it two writers can burn all retries in lockstep and raise
+    spuriously (standard optimistic-commit retry shape)."""
+    import random
+    import time as _time
+
     from etl_spark.lake.table import CommitConflictError
 
     last: Exception | None = None
-    for _ in range(max_retries + 1):
+    for attempt in range(max_retries + 1):
         try:
             return body()
         except CommitConflictError as e:
             last = e
+            if attempt < max_retries:
+                _time.sleep(random.uniform(0.05, 0.2) * (2 ** attempt))
     raise last  # type: ignore[misc]
 
 
@@ -102,6 +136,7 @@ def _sync_once(src, dst, transform) -> dict:
         epoch=f"sync_v{v_to}",
         extra_manifest={"properties": {**dst.properties, SYNC_PROP: v_to}},
     )
+    _advance_pin(src, dst, v_to)
     return {**stats, "skipped": False, "from_version": v_from, "to_version": v_to}
 
 
@@ -211,4 +246,5 @@ def _sync_agg_once(src, dst, group_cols, sum_cols) -> dict:
         )
     finally:
         delta.unpersist()
+    _advance_pin(src, dst, v_to)
     return {**stats, "skipped": False, "from_version": v_from, "to_version": v_to}

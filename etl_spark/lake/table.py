@@ -68,6 +68,14 @@ class CommitConflictError(RuntimeError):
     concurrency, Iceberg-style): re-read CURRENT and retry the merge."""
 
 
+class ExpiredVersionError(FileNotFoundError):
+    """The requested version's manifest was removed by
+    ``expire_versions`` — e.g. a change-feed ``v_from`` older than the
+    retention horizon. Consumers past the horizon must bootstrap from
+    the full table (``changes_since(0)``) instead; pin the versions a
+    consumer still needs (``LakeTable.pin``) to prevent this."""
+
+
 def _atomic_write(path: str, text: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -116,8 +124,18 @@ class LakeTable:
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self._meta_dir, f"v{v}.json")) as f:
-            return json.load(f)
+        try:
+            with open(os.path.join(self._meta_dir, f"v{v}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            if 0 <= int(v) <= self.current_version():
+                raise ExpiredVersionError(
+                    f"version {v} of {self.root} is past the retention "
+                    "horizon (expire_versions removed it); bootstrap from "
+                    "changes_since(0), or pin(name, v) versions consumers "
+                    "still need"
+                ) from None
+            raise
 
     def schema(self, version: int | None = None) -> T.StructType:
         m = self.manifest(version)
@@ -367,6 +385,56 @@ class LakeTable:
         t.pop(name, None)
         _atomic_write(self._tags_path, json.dumps(t))
 
+    # ---------- pins (per-consumer retention watermarks) ----------
+    #
+    # A pin is a machine-held version ref with ONE-FILE-PER-NAME
+    # storage: concurrent pinners (many downstream syncs against one
+    # source) never read-modify-write a shared file, so no pin can be
+    # lost to a race — unlike tags, which are a human-curated dict.
+    # expire_versions retains pinned versions' manifests and data, so
+    # a lagging incremental consumer's next `changes(v_from)` preimage
+    # read stays serviceable no matter how far keep_last advances.
+
+    @property
+    def _pins_dir(self) -> str:
+        return os.path.join(self._meta_dir, "pins")
+
+    @staticmethod
+    def _pin_file(name: str) -> str:
+        import re
+
+        safe = re.sub(r"[^A-Za-z0-9_.:-]", "_", name)
+        return f"{safe}.json"
+
+    def pin(self, name: str, version: int | None = None) -> None:
+        """Pin ``version`` (default: current) against expiry under a
+        consumer name. Re-pinning the same name moves the pin (the
+        consumer's retention watermark advances with its sync)."""
+        v = self.current_version() if version is None else int(version)
+        self.manifest(v)  # must exist
+        os.makedirs(self._pins_dir, exist_ok=True)
+        _atomic_write(
+            os.path.join(self._pins_dir, self._pin_file(name)),
+            json.dumps({"name": name, "version": v}),
+        )
+
+    def unpin(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._pins_dir, self._pin_file(name)))
+        except FileNotFoundError:
+            pass
+
+    def pins(self) -> dict[str, int]:
+        if not os.path.isdir(self._pins_dir):
+            return {}
+        out = {}
+        for fn in os.listdir(self._pins_dir):
+            if fn.endswith(".json"):
+                with open(os.path.join(self._pins_dir, fn)) as f:
+                    d = json.load(f)
+                out[d["name"]] = int(d["version"])
+        return out
+
     def resolve_tag(self, name: str) -> int:
         t = self.tags()
         if name not in t:
@@ -380,7 +448,10 @@ class LakeTable:
         rows = []
         v: int | None = self.current_version()
         while v is not None:
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                break  # retention horizon: older manifests expired
             rows.append((
                 int(m["version"]),
                 m.get("parent"),
@@ -1000,7 +1071,11 @@ class LakeTable:
         emit change rows — consume before purging, exactly like the
         streaming tombstone watermark."""
         m_to = self.manifest(v_to)
-        m_from = self.manifest(v_from)  # raises if expired — the feed's horizon
+        # raises ExpiredVersionError past the horizon: expire_versions
+        # deletes expired manifests, so a consumer that lagged beyond
+        # retention fails FAST here (not later at scan time) and must
+        # bootstrap from changes_since(0)
+        m_from = self.manifest(v_from)
         changed = self._changed_buckets(m_from, m_to)
         user = self._user_fields(m_to)
         seq = m_to["seq_col"]
@@ -1160,9 +1235,14 @@ class LakeTable:
         new_b = F.pmod(F.hash(*[F.col(k) for k in self.key_cols]), F.lit(n_buckets))
         data_dir = os.path.join(self.root, "data", f"v{v}-{uuid.uuid4().hex[:8]}")
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-        (df.withColumn(_BUCKET, new_b).select(F.col(_BUCKET), *ordered)
-           .repartition(n_buckets, F.col(_BUCKET))
-           .write.partitionBy(_BUCKET).mode("overwrite").parquet(data_dir))
+        # _apply_write_options: bloom_cols must survive layout rewrites
+        # (a rebucket that dropped them would silently degrade point
+        # lookups until later merges happened to rewrite every bucket)
+        self._apply_write_options(
+            df.withColumn(_BUCKET, new_b).select(F.col(_BUCKET), *ordered)
+            .repartition(n_buckets, F.col(_BUCKET))
+            .write
+        ).partitionBy(_BUCKET).mode("overwrite").parquet(data_dir)
         out = {}
         for d in os.listdir(data_dir):
             if d.startswith(f"{_BUCKET}="):
@@ -1288,13 +1368,23 @@ class LakeTable:
         return out
 
     def expire_versions(self, keep_last: int = 2) -> None:
-        """Drop data/delta dirs only referenced by expired manifests.
-        Tagged versions are always retained (a tag is a promise the
-        snapshot stays readable)."""
+        """Expire old versions: drop data/delta dirs (and manifest
+        JSONs) only referenced by expired versions. Retained always:
+        the last ``keep_last`` versions, tagged versions (a tag is a
+        promise the snapshot stays readable), and PINNED versions —
+        the per-consumer retention watermarks incremental syncs hold
+        (``pin``/``pins``), so a lagging downstream's next
+        ``changes(v_from)`` preimage read survives expiry.
+
+        Expired manifests are deleted too, so the change feed's
+        horizon is REAL: ``changes_since(v_from)`` on an expired
+        v_from fails fast at the manifest read (ExpiredVersionError)
+        instead of later at scan time with a missing path."""
         cur = self.current_version()
         live: set[str] = set()
         keep_vs = set(range(max(0, cur - keep_last + 1), cur + 1))
         keep_vs.update(int(v) for v in self.tags().values())
+        keep_vs.update(int(v) for v in self.pins().values())
         for v in sorted(keep_vs):
             try:
                 m = self.manifest(v)
@@ -1312,6 +1402,20 @@ class LakeTable:
                     full = os.path.join(root, d)
                     if full not in live:
                         shutil.rmtree(full, ignore_errors=True)
+        # manifests of expired versions go last: data-dir removal above
+        # never depends on them, and a crash in between leaves only
+        # harmless extra manifests (re-run converges)
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    v = int(fn[1:-5])
+                except ValueError:
+                    continue
+                if v not in keep_vs:
+                    try:
+                        os.remove(os.path.join(self._meta_dir, fn))
+                    except FileNotFoundError:
+                        pass
 
 
 class LakeCatalog:

@@ -141,7 +141,10 @@ class CdcStream:
         t = self.table
         v = t.current_version()
         while v is not None:
-            m = t.manifest(v)
+            try:
+                m = t.manifest(v)
+            except FileNotFoundError:
+                break  # retention horizon: older manifests expired
             e = m.get("epoch_committed")
             if e is not None and e not in seen:
                 seen.add(e)

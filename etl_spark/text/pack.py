@@ -32,7 +32,18 @@ def pack_greedy(
     ``pack_offset`` (the doc's first-token offset inside its pack)."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    w = Window.partitionBy(part_col).orderBy(id_col)
+    # ROWS frame + full-row tiebreak: the default RANGE frame treats
+    # duplicate ids as peers (each tied doc's running sum would include
+    # the other's tokens), and orderBy(id) alone leaves tied rows in
+    # nondeterministic order. xxhash64 over all columns orders distinct
+    # tied rows deterministically; exact duplicates are interchangeable
+    # (either order yields the same output multiset).
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(id_col), tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
     return df.withColumn("pack_id", F.floor(start / F.lit(seq_len))).withColumn(
         "pack_offset", start % F.lit(seq_len)

@@ -149,15 +149,64 @@ def test_changes_classified(spark, tmp_path):
 
 
 def test_changes_since_expired_horizon_raises(spark, tmp_path):
+    """expire_versions deletes expired manifests, so the change feed's
+    horizon fails FAST at the manifest read (ExpiredVersionError, a
+    FileNotFoundError) — not later at scan time with a missing path."""
+    from etl_spark.lake.table import ExpiredVersionError
+
     t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
     for i in range(5):
         t.merge_cdc(_src(spark, [("a", i, "update", i + 1)]))
     t.expire_versions(keep_last=1)
-    import os
-
-    os.unlink(os.path.join(t._meta_dir, "v1.json"))
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ExpiredVersionError):
         t.changes_since(1)
+    with pytest.raises(FileNotFoundError):
+        t.changes(1)
+    # current state and history-to-horizon still work
+    assert t.read().first()["v"] == 4
+    assert t.history().count() == 1
+
+
+def test_consumer_pin_survives_expiry_and_sync_continues(spark, tmp_path):
+    """A lagging incremental consumer's watermark version is pinned on
+    the source by each sync, so aggressive expire_versions on the
+    source cannot collect the manifest+data its NEXT preimage-based
+    sync_agg needs (the round-2 advisory's failure mode: lagging
+    aggregate sync dies on a missing path and can never catch up)."""
+    from etl_spark.lake.incremental import sync_agg
+
+    dst = LakeTable.create(
+        spark, str(tmp_path / "dst"),
+        T.StructType([T.StructField("g", T.StringType(), True),
+                      T.StructField("n", T.LongType(), True),
+                      T.StructField("sum_v", T.LongType(), True)]),
+        ["g"], n_buckets=2,
+    )
+    # group column lives on src as k's first char
+    src2 = LakeTable.create(
+        spark, str(tmp_path / "src2"),
+        T.StructType([T.StructField("k", T.StringType(), False),
+                      T.StructField("g", T.StringType(), True),
+                      T.StructField("v", T.LongType(), True)]),
+        ["k"], n_buckets=2,
+    )
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "k string, g string, v long, op string, seq long")
+    src2.merge_cdc(ev([("a", "x", 1, "insert", 1), ("b", "y", 2, "insert", 2)]))
+    sync_agg(src2, dst, ["g"], ["v"])
+    pin_v = int(dst.properties[SYNC_PROP])
+    assert pin_v in src2.pins().values()
+    # source races far ahead, then expires aggressively
+    for i in range(3, 12):
+        src2.merge_cdc(ev([("a", "x", i, "update", i)]))
+    src2.expire_versions(keep_last=1)
+    # the pinned watermark version is still fully readable
+    assert src2.manifest(pin_v) is not None
+    # and the lagging consumer catches up instead of dying
+    sync_agg(src2, dst, ["g"], ["v"])
+    got = {r["g"]: (r["n"], r["sum_v"]) for r in dst.read().collect()}
+    assert got == {"x": (1, 11), "y": (1, 2)}
 
 
 # ---------------------------------------------------------------------------

@@ -622,6 +622,36 @@ def test_bloom_cols_written_and_read_keys_pushdown(spark, tmp_path):
     assert "Join" in plan_big  # fallback path
 
 
+def test_rebucket_preserves_bloom_filters(spark, tmp_path):
+    """A layout rewrite must keep bloom_cols: rebucket routes its
+    writer through _apply_write_options, so the rebucketed files still
+    carry the filters (visible as strictly larger files than the same
+    rebucketed data without bloom_cols) and point-lookup pushdown
+    still fires."""
+    rows = [(f"k{i}", i, "insert", i) for i in range(500)]
+
+    def mk(name, **kw):
+        t = LakeTable.create(spark, str(tmp_path / name), _schema(), ["k"],
+                             n_buckets=2, **kw)
+        t.merge_cdc(_src(spark, rows), epoch=0)
+        t.rebucket(4)
+        return t
+
+    plain, bloom = mk("plain"), mk("bloom", bloom_cols=["k"])
+
+    def data_bytes(t):
+        total = 0
+        for ent in t.manifest()["buckets"].values():
+            d = ent["path"]
+            total += sum(os.path.getsize(os.path.join(d, f))
+                         for f in os.listdir(d) if f.endswith(".parquet"))
+        return total
+
+    assert data_bytes(bloom) > data_bytes(plain)
+    got = {r["k"]: r["v"] for r in bloom.read_keys([("k3",), ("k499",)]).collect()}
+    assert got == {"k3": 3, "k499": 499}
+
+
 def test_advise_surfaces_maintenance_signals(spark, tmp_path):
     """The advisor reads only the manifest: long delta chains ->
     compact; tombstone-heavy tables -> purge; deep version chains ->

@@ -141,6 +141,32 @@ def test_pack_greedy_assignment(spark):
     assert stats[("t", 0)] == (1, 120)
 
 
+def test_pack_greedy_duplicate_ids_deterministic(spark):
+    """Duplicate ids within a part must NOT be window-frame peers: the
+    default RANGE frame would hand each tied doc a running total that
+    already includes the other's tokens (both offsets nonzero, answer
+    depending on arrival order). The ROWS frame + full-row tiebreak
+    packs them sequentially and identically on every run."""
+    from etl_spark.text.pack import pack_greedy
+
+    rows = [(1, "s", 60), (1, "s", 70), (2, "s", 30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    outs = []
+    for _ in range(3):
+        got = sorted(
+            (r["n_tok"], r["pack_id"], r["pack_offset"])
+            for r in pack_greedy(df.repartition(4), "doc_id", "n_tok", 100, "source").collect()
+        )
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    # sequential packing: exactly one of the tied docs starts at offset 0,
+    # the other starts where the first ended; total started tokens = 160
+    starts = {(p, o) for _, p, o in outs[0]}
+    assert (0, 0) in starts
+    offsets = sorted(o + p * 100 for _, p, o in outs[0])
+    assert offsets in ([0, 60, 130], [0, 70, 130])
+
+
 def test_stratified_sample_exact_n_and_stable(spark):
     from etl_spark.ops.sample import stratified_sample
 
