@@ -16,10 +16,11 @@ Two reference surfaces:
   reference warns about (missing mappings, unused mappings, unknown
   excluded keys).
 
-Scale notes: the harmonization audit collects DISTINCT key values —
-key domains here are human-curated vocabularies (countries,
-languages, entity names), bounded by construction; the data frame
-itself only flows through a literal-map projection (zero shuffle).
+Scale notes: the harmonization audit never collects the full key
+domain — the vocab-side sets are bounded IN-list probes and the
+open-ended ``missing`` set is a capped TakeOrdered (see
+harmonize_keys); the data frame itself only flows through a
+literal-map projection (zero shuffle).
 The insert phase of lookup-or-insert assigns ids with a row_number
 over the NEW keys ordered by key — a single-reducer window over only
 the novel keys of the batch (the reference's analog is a sequential
@@ -42,24 +43,54 @@ def harmonize_keys(
     mapping: dict[str, str],
     excluded: list[str] | None = None,
     make_unmapped_null: bool = False,
-) -> tuple[DataFrame, dict[str, list[str]]]:
+    audit_limit: int = 10_000,
+) -> tuple[DataFrame, dict]:
     """Harmonize ``df[column]`` through ``mapping``; rows whose key is
     in ``excluded`` are dropped first. Unmapped keys keep their
     original value (or become NULL with make_unmapped_null).
 
-    Returns (harmonized_df, audit) with the reference's warning sets:
+    Returns (harmonized_df, audit) with the reference's warning sets
+    (geo.py:365-444 warn semantics):
     - ``missing``: keys in the data with no mapping entry
     - ``unused``: mapping entries never seen in the data
     - ``unknown_excluded``: excluded keys not present in the data
-    """
+
+    Scale: the audit NEVER collects the full key domain to the driver
+    (a previous revision did ``distinct().collect()`` — an OOM on a
+    high-cardinality column at 100 TB). ``unused`` and
+    ``unknown_excluded`` are derived from pushed-down IN-list filters
+    whose results are bounded by len(mapping)/len(excluded) — the
+    curated vocabularies the caller already holds in memory.
+    ``missing`` is open-ended (arbitrary unmapped data keys), so it is
+    an ordered TakeOrdered capped at ``audit_limit``;
+    ``missing_truncated`` flags when the cap bit. The data path itself
+    is still a zero-shuffle literal-map projection."""
     excluded = excluded or []
-    present = {r[0] for r in df.select(column).distinct().collect()}
+    mapped_keys = list(mapping)
+    # bounded probes: which of the curated vocab actually appears?
+    # (filter + distinct over an IN-list — result size <= vocab size)
+    present_of = {}
+    for name, vocab in (("mapping", mapped_keys), ("excluded", excluded)):
+        if vocab:
+            present_of[name] = {
+                r[0] for r in df.select(column).filter(F.col(column).isin(vocab))
+                .distinct().collect()
+            }
+        else:
+            present_of[name] = set()
+    # open-ended probe: data keys with no mapping — capped TakeOrdered
+    not_known = ~F.col(column).isin([*mapped_keys, *excluded]) if (mapped_keys or excluded) \
+        else F.lit(True)
+    missing_rows = (
+        df.select(column).filter(not_known & F.col(column).isNotNull())
+        .distinct().orderBy(column).limit(audit_limit + 1).collect()
+    )
+    missing = [r[0] for r in missing_rows]
     audit = {
-        "unknown_excluded": sorted(set(excluded) - present),
-        "missing": sorted(
-            (present - set(excluded)) - set(mapping) - ({None} if None in present else set())
-        ),
-        "unused": sorted(set(mapping) - present),
+        "unknown_excluded": sorted(set(excluded) - present_of["excluded"]),
+        "missing": missing[:audit_limit],
+        "missing_truncated": len(missing) > audit_limit,
+        "unused": sorted(set(mapping) - present_of["mapping"]),
     }
     out = df
     if excluded:

@@ -42,9 +42,25 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cosine, rank). Ranking is
-    on round(cosine, 6) with id tie-break -> fully deterministic."""
+    on round(cosine, 6) with id tie-break -> fully deterministic.
+
+    This is the O(Q x N) RECALL ORACLE, not the production path — use
+    ``lsh_topk`` / ``ivf_topk`` at scale. The ``max_pairs`` guard
+    (two count jobs, trivial next to the crossJoin they gate) refuses
+    to run past the threshold so the verifier cannot be reached by
+    accident on a large corpus; pass ``max_pairs=None`` to force."""
+    if max_pairs is not None:
+        nq, nc = queries.count(), corpus.count()
+        if nq * nc > max_pairs:
+            raise ValueError(
+                f"brute_force_topk would score {nq}x{nc} = {nq * nc} pairs "
+                f"(> max_pairs={max_pairs}). This O(QxN) crossJoin is the "
+                "recall oracle for small inputs — use lsh_topk or ivf_topk "
+                "at scale, or pass max_pairs=None to force."
+            )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = F.broadcast(q).crossJoin(c)

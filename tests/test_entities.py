@@ -47,6 +47,36 @@ def test_harmonize_excluded_and_audit_sets(spark):
     assert audit["missing"] == []
 
 
+def test_harmonize_high_cardinality_audit_is_bounded(spark):
+    """A high-cardinality key column must not flood the driver: the
+    ``missing`` audit is a capped TakeOrdered (limit pushed into the
+    plan), truncation is flagged, and the harmonized data itself is
+    untouched. The vocab-side audits stay exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("row_id"),
+        F.concat(F.lit("key"), F.format_string("%05d", F.col("id"))).alias("country"),
+    )
+    out, audit = harmonize_keys(
+        df, "country", {"key00000": "zero", "nope": "x"}, audit_limit=50
+    )
+    assert len(audit["missing"]) == 50
+    assert audit["missing_truncated"] is True
+    assert audit["missing"][0] == "key00001"  # ordered, mapped key excluded
+    assert audit["unused"] == ["nope"]
+    assert out.count() == 10_000
+    # the limit is in the PLAN (TakeOrdered/Limit), not applied after a
+    # full collect — the plan for the audit probe must contain a limit
+    probe = (
+        df.select("country")
+        .filter(~F.col("country").isin(["key00000", "nope"]) & F.col("country").isNotNull())
+        .distinct().orderBy("country").limit(51)
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "Limit" in plan
+
+
 def test_lookup_or_insert_two_phase_and_idempotent(spark, tmp_path):
     tbl = ensure_entity_table(spark, str(tmp_path / "ent"), "country")
     df = _df(spark, ["b", "a", "b", "c"])

@@ -161,6 +161,17 @@ def test_brute_force_topk(spark, vecs):
     assert got == [(3, 1), (1, 2)]
 
 
+def test_brute_force_topk_guard_fires(spark, vecs):
+    """The O(QxN) recall oracle refuses to run past max_pairs so it
+    cannot be reached by accident at scale; max_pairs=None forces."""
+    import pytest
+
+    with pytest.raises(ValueError, match="max_pairs"):
+        brute_force_topk(vecs, vecs, k=2, max_pairs=3)
+    # explicit override still runs
+    assert brute_force_topk(vecs, vecs, k=1, max_pairs=None).count() > 0
+
+
 def test_lsh_topk_subset_of_brute(spark, vecs):
     """LSH results are always true neighbors (scored exactly); the
     identical vector must be found (same bucket by construction)."""
