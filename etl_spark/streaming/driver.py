@@ -37,6 +37,52 @@ from etl_spark.sources.wal import EVENT_SCHEMA_EVOLVED, stream_event_log
 LINEAGE_SCHEMA = "epoch long, partition_id int, seq_min long, seq_max long, row_count long, sha256_digest string"
 
 
+def lineage_stats(batch: DataFrame, epoch: int, n_ranges: int | None = None):
+    """Fused per-batch bookkeeping in TWO tiny jobs over a (cached)
+    batch: per-range lineage rows AND the whole-batch digest from the
+    SAME aggregation — the per-range bit_xor values xor together into
+    the batch digest (xor is associative/commutative), so the drain
+    loop never scans the batch a second time just to checksum it.
+
+    Returns (rows, batch_digest_hex): rows in LINEAGE_SCHEMA order,
+    the per-range sha256 computed from the range's raw xor exactly as
+    the distributed form does (sha256 of the signed-decimal string).
+    Deterministic across retries and partitionings: range ids are
+    arithmetic from (min, max, n_ranges), never sampled boundaries
+    (SURVEY.md hard part #3)."""
+    import hashlib
+
+    bounds = batch.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+    if bounds["lo"] is None:
+        return [], format(0, "016x")
+    lo, hi = bounds["lo"], bounds["hi"]
+    nr = n_ranges or 1
+    chunk = max((hi - lo + 1 + nr - 1) // nr, 1)
+    row_hash = F.xxhash64(*[F.col(c) for c in batch.columns])
+    agg_rows = (
+        batch.withColumn(
+            "partition_id", ((F.col("seq") - F.lit(lo)) / F.lit(chunk)).cast("int")
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.min("seq").alias("seq_min"),
+            F.max("seq").alias("seq_max"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.bit_xor(row_hash).alias("xor"),
+        )
+        .collect()
+    )
+    total = 0
+    rows = []
+    for r in sorted(agg_rows, key=lambda x: x["partition_id"]):
+        total ^= r["xor"] & 0xFFFFFFFFFFFFFFFF
+        rows.append((
+            int(epoch), int(r["partition_id"]), int(r["seq_min"]), int(r["seq_max"]),
+            int(r["row_count"]), hashlib.sha256(str(r["xor"]).encode()).hexdigest(),
+        ))
+    return rows, format(total, "016x")
+
+
 def lineage_rows(batch: DataFrame, epoch: int, n_ranges: int | None = None) -> DataFrame:
     """Per-partition lineage over the raw batch: disjoint seq ranges,
     row counts, and an order-independent digest.
@@ -121,6 +167,34 @@ class CdcStream:
     def lineage_dir(self) -> str:
         return os.path.join(self.table.root, "_lineage")
 
+    def _write_lineage(self, rows: list[tuple], epoch: int) -> None:
+        """Write this epoch's ≤n_ranges lineage rows straight from the
+        driver with pyarrow — measured ~6s per micro-batch as a Spark
+        job (tiny-DF createDataFrame + single-task write round-trip),
+        ~ms as a direct file write. Idempotent overwrite: fresh dir,
+        tmp file, rename — a retry of the same epoch produces the same
+        bytes at the same path."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.lineage_dir, f"e{epoch}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        schema = pa.schema([
+            ("epoch", pa.int64()), ("partition_id", pa.int32()),
+            ("seq_min", pa.int64()), ("seq_max", pa.int64()),
+            ("row_count", pa.int64()), ("sha256_digest", pa.string()),
+        ])
+        cols = list(zip(*rows)) if rows else [[]] * 6
+        tbl = pa.table(
+            {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+        )
+        tmp = os.path.join(d, ".part-00000.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(d, "part-00000.parquet"))
+
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         if not os.path.isdir(self.lineage_dir):
             return spark.createDataFrame([], LINEAGE_SCHEMA)
@@ -167,38 +241,38 @@ class CdcStream:
         self.table.expire_versions(keep_last=self.keep_versions)
 
     def process_batch(self, batch: DataFrame, epoch: int) -> dict:
+        """Per-batch bookkeeping is FUSED: lineage ranges and the
+        batch digest come out of one aggregation (lineage_stats — the
+        per-range xors combine into the whole-batch digest), and the
+        ≤n_ranges lineage rows are written from the driver — a
+        previous revision ran a separate full-payload digest scan plus
+        a distributed lineage write per micro-batch. The batch is NOT
+        cached: measured on the drain bench, materializing the wide
+        content strings into the block store costs more than the
+        column-pruned tmpfs/NVMe parquet re-reads it would save (the
+        bounds and dirty-bucket probes prune to seq/keys at the scan;
+        a cache materializes every column up front)."""
         if self.table.has_epoch(epoch):
             return {"epoch": epoch, "skipped": True}
-        # write lineage first (idempotent overwrite of this epoch's dir);
+        can = R.canonicalize(batch)
+        if "ts" in can.columns:
+            can = can.drop("ts")
+        # lineage first (idempotent overwrite of this epoch's dir);
         # a crash before the merge commit leaves it orphaned-but-correct
-        lin = lineage_rows(R.canonicalize(batch), epoch, self.lineage_ranges)
-        lin.write.mode("overwrite").parquet(os.path.join(self.lineage_dir, f"e{epoch}"))
+        rows, digest = lineage_stats(can, epoch, self.lineage_ranges)
+        self._write_lineage(rows, epoch)
         if self.table.derived_columns:
-            # fused path: digest the canonicalized raw batch, merge it
-            # directly (one max_by resolves dedup + target union)
-            src = R.canonicalize(batch)
-            if "ts" in src.columns:
-                src = src.drop("ts")
-            digest = R.batch_digest(src)
-            out = self.table.merge_cdc(
-                src,
-                epoch=epoch,
-                extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
-            )
-            self._maybe_maintain()
-            self._run_downstream()
-            return out
-        staged = R.stage_batch(batch, salted=self.salted)
-        staged = staged.persist()
-        try:
-            digest = R.batch_digest(staged)
-            out = self.table.merge_cdc(
-                staged,
-                epoch=epoch,
-                extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
-            )
-        finally:
-            staged.unpersist()
+            # fused path: one max_by resolves dedup + target union
+            src = can
+        elif self.salted:
+            src = R.with_content_sha256(R.dedup_latest_salted(can))
+        else:
+            src = R.with_content_sha256(R.dedup_latest(can))
+        out = self.table.merge_cdc(
+            src,
+            epoch=epoch,
+            extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
+        )
         self._maybe_maintain()
         self._run_downstream()
         return out
