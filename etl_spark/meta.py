@@ -251,6 +251,96 @@ class MetaFrame:
             meta[c] = combine_column_meta(parents, "concat", c, [c])
         return self._wrap(self.df.unionByName(other.df, allowMissingColumns=False), meta)
 
+    def merge(
+        self,
+        other: "MetaFrame",
+        on: list[str] | str,
+        how: str = "inner",
+        suffixes: tuple[str, str] = ("_x", "_y"),
+    ) -> "MetaFrame":
+        """Pandas-suffix merge with metadata (tables.py:794-871,
+        specified by lib/catalog/tests/test_tables.py:528-784):
+        overlapping non-key columns get ``suffixes`` and carry ONLY
+        their own side's metadata (each through a one-parent "merge"
+        combine, so the log records the merge); join-key columns
+        combine both sides'."""
+        from etl_spark.ops.relational import merge as _merge
+
+        on_list = [on] if isinstance(on, str) else list(on)
+        overlap = (set(self.meta) & set(other.meta)) - set(on_list)
+        meta: dict[str, ColumnMeta] = {}
+        for c, m in self.meta.items():
+            if c in on_list:
+                meta[c] = combine_column_meta(
+                    [m, other.meta.get(c, ColumnMeta())], "merge", c, [c, c]
+                )
+            else:
+                out_name = c + suffixes[0] if c in overlap else c
+                meta[out_name] = combine_column_meta([m], "merge", c, [c])
+        for c, m in other.meta.items():
+            if c not in on_list:
+                out_name = c + suffixes[1] if c in overlap else c
+                meta[out_name] = combine_column_meta([m], "merge", c, [c])
+        return self._wrap(_merge(self.df, other.df, on_list, how, suffixes), meta)
+
+    def melt(
+        self,
+        id_vars: list[str],
+        value_vars: list[str] | None = None,
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "MetaFrame":
+        """Wide -> long with metadata (tables.py:916-975, specified by
+        lib/catalog/tests/test_tables.py:446-526): BOTH new columns
+        (variable name + value) combine ALL value_vars' metadata; id
+        columns keep theirs through a one-parent "melt" combine."""
+        from etl_spark.ops.relational import melt as _melt
+
+        id_list = list(id_vars)
+        vv = list(value_vars) if value_vars is not None else [
+            c for c in self.df.columns if c not in id_list
+        ]
+        value_metas = [self.meta.get(c, ColumnMeta()) for c in vv]
+        meta = {
+            c: combine_column_meta([self.meta[c]], "melt", c, [c])
+            for c in id_list
+            if c in self.meta
+        }
+        meta[var_name] = combine_column_meta(value_metas, "melt", var_name, vv)
+        meta[value_name] = combine_column_meta(value_metas, "melt", value_name, vv)
+        return self._wrap(_melt(self.df, id_list, vv, var_name, value_name), meta)
+
+    def pivot(
+        self,
+        index: list[str],
+        column: str,
+        value: str,
+        values: list[str] | None = None,
+        agg: str = "first",
+        join_column_levels_with: str | None = None,
+    ) -> "MetaFrame":
+        """Long -> wide with metadata (tables.py:1000-1053): every
+        pivoted column inherits the VALUE column's metadata (the
+        reference propagates the upper level's variable only); index
+        columns keep theirs. ``join_column_levels_with`` prefixes
+        pivoted names with the value column (the reference's flattened
+        multi-index names, e.g. value_vars -> "value-red")."""
+        from etl_spark.ops.relational import pivot_wide as _pivot
+
+        out = _pivot(self.df, index, column, value, values=values, agg=agg)
+        pivoted = [c for c in out.columns if c not in index]
+        names = None
+        if join_column_levels_with is not None:
+            names = {c: f"{value}{join_column_levels_with}{c}" for c in pivoted}
+            for old, new in names.items():
+                out = out.withColumnRenamed(old, new)
+        meta = {c: self.meta[c] for c in index if c in self.meta}
+        vmeta = self.meta.get(value, ColumnMeta())
+        for c in pivoted:
+            out_name = names[c] if names else c
+            meta[out_name] = combine_column_meta([vmeta], "pivot", value, [value])
+        return self._wrap(out, meta)
+
     def groupby_agg(self, keys: list[str], aggs: dict[str, Column], parents: dict[str, list[str]]) -> "MetaFrame":
         """groupBy().agg(): each output column's metadata combines its
         declared parent columns' (``parents[out_col] = [in_cols...]``)."""

@@ -136,6 +136,92 @@ def test_select_prunes_and_docs_roundtrip(spark, mf):
     assert back.meta["a"] == out.meta["a"]
 
 
+def test_merge_suffixes_keep_each_sides_metadata(spark, mf):
+    """test_tables.py:498-526: overlapping non-key columns get suffixes
+    and carry ONLY their own side's metadata; key columns combine."""
+    other = MetaFrame(
+        spark.createDataFrame([(1, 40, 9.0)], "a long, b long, c double"),
+        {
+            "a": ColumnMeta(title="Title of a", description="Other desc", sources=["s9"]),
+            "b": ColumnMeta(title="Other b", unit="km", sources=["s8"]),
+            "c": ColumnMeta(title="C"),
+        },
+    )
+    out = mf.merge(other, on=["a"], how="inner")
+    assert set(out.meta) == {"a", "b_x", "b_y", "c"}
+    assert set(out.df.columns) == {"a", "b_x", "b_y", "c"}
+    # key column combines both sides: titles agree -> kept; descriptions differ -> dropped
+    assert out.meta["a"].title == "Title of a"
+    assert out.meta["a"].description is None
+    assert out.meta["a"].sources == ["s2", "s1", "s9"]
+    # suffixed columns carry their own side's metadata untouched (bar the log)
+    assert out.meta["b_x"].title == "Title of b" and out.meta["b_x"].unit == "people"
+    assert out.meta["b_y"].title == "Other b" and out.meta["b_y"].unit == "km"
+    assert out.meta["c"].title == "C"
+    assert out.meta["b_x"].processing_log[-1]["operation"] == "merge"
+    # custom suffixes
+    out2 = mf.merge(other, on=["a"], suffixes=("_left", "_right"))
+    assert out2.meta["b_left"].title == "Title of b"
+    assert out2.meta["b_right"].title == "Other b"
+    # data correctness: inner join on a=1
+    row = out.df.collect()[0]
+    assert (row["b_x"], row["b_y"], row["c"]) == (4, 40, 9.0)
+
+
+def test_melt_combines_value_vars_metadata(mf):
+    """tables.py:916-975 / test_tables.py:446+: both new columns
+    (variable + value) combine ALL value_vars' metadata; id columns
+    keep theirs."""
+    df2 = mf.df.withColumn("k", F.col("a") % 2)
+    mf2 = MetaFrame(df2, {**mf.meta, "k": ColumnMeta(title="Key")})
+    out = mf2.melt(id_vars=["k"], value_vars=["a", "b"])
+    assert set(out.df.columns) == {"k", "variable", "value"}
+    v = out.meta["value"]
+    # titles differ -> dropped; unit agrees -> kept; sources union
+    assert v.title is None and v.unit == "people"
+    assert v.sources == ["s2", "s1", "s3"]
+    assert v.processing_level == "major"
+    assert out.meta["variable"].unit == "people"
+    assert out.meta["k"].title == "Key"
+    assert v.processing_log[-1] == {
+        "variable": "value", "parents": ["a", "b"], "operation": "melt",
+    }
+    assert out.df.count() == 6
+    # default value_vars = all non-id columns
+    out2 = mf2.melt(id_vars=["k"])
+    assert out2.meta["value"].sources == ["s2", "s1", "s3"]
+
+
+def test_pivot_propagates_value_metadata(spark):
+    """tables.py:1000-1053: every pivoted column inherits the value
+    column's metadata; join_column_levels_with flattens names."""
+    df = spark.createDataFrame(
+        [(2000, "red", 1.0), (2000, "blue", 2.0), (2001, "red", 3.0)],
+        "year long, color string, v double",
+    )
+    mf = MetaFrame(df, {
+        "year": ColumnMeta(title="Year"),
+        "color": ColumnMeta(title="Color"),
+        "v": ColumnMeta(title="Value", unit="t", sources=["s1"]),
+    })
+    out = mf.pivot(index=["year"], column="color", value="v", values=["red", "blue"])
+    assert set(out.df.columns) == {"year", "red", "blue"}
+    assert out.meta["year"].title == "Year"
+    for c in ("red", "blue"):
+        assert out.meta[c].title == "Value" and out.meta[c].sources == ["s1"]
+        assert out.meta[c].processing_log[-1]["operation"] == "pivot"
+    # flattened multi-index names: value column prefixes the level
+    out2 = mf.pivot(
+        index=["year"], column="color", value="v",
+        values=["red", "blue"], join_column_levels_with="-",
+    )
+    assert set(out2.df.columns) == {"year", "v-red", "v-blue"}
+    assert out2.meta["v-red"].unit == "t"
+    rows = {r["year"]: r for r in out2.df.collect()}
+    assert rows[2000]["v-red"] == 1.0 and rows[2000]["v-blue"] == 2.0
+    assert rows[2001]["v-blue"] is None
+
+
 def test_unknown_processing_level_rejected():
     with pytest.raises(ValueError):
         combine_column_meta(
