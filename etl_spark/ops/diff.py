@@ -70,6 +70,72 @@ def frames_equal(left: DataFrame, right: DataFrame, keys: Sequence[str], **kw) -
     return frame_diff(left, right, keys, **kw).limit(1).count() == 0
 
 
+def diff_catalogs(cat_a, cat_b, rtol: float = 1e-8, atol: float = 1e-8) -> DataFrame:
+    """Catalog-level datadiff — the reference's ``etl diff`` walk
+    (etl/datadiff.py:29-150: dataset-by-dataset, +added / -removed /
+    ~changed with per-column detail) over two LakeCatalogs.
+
+    Returns one row per table name present in either catalog:
+    ``status`` in {added, removed, equal, schema_changed, data_changed},
+    schema deltas (cols_added / cols_removed / cols_changed), and row
+    counts. The walk is a driver loop bounded by the catalog size (the
+    reference does the same); per-table comparison is the distributed
+    ``frame_diff`` pass, short-circuited by the cheap version/manifest
+    check first — two untouched tables never scan data."""
+    names = sorted(set(cat_a.list_tables()) | set(cat_b.list_tables()))
+    rows = []
+    empty: list[str] = []
+
+    def _user_cols(t) -> set[str]:
+        m = t.manifest()
+        internal = {m["seq_col"], "_deleted", "_cv"}
+        return {f for f in t.schema().names if f not in internal}
+
+    for name in names:
+        in_a, in_b = cat_a.exists(name), cat_b.exists(name)
+        if not in_b:
+            rows.append((name, "removed", empty, empty, empty,
+                         int(cat_a.table(name).row_count()), None, None))
+            continue
+        if not in_a:
+            t = cat_b.table(name)
+            rows.append((name, "added", sorted(_user_cols(t)), empty, empty,
+                         None, int(t.row_count()), None))
+            continue
+        ta, tb = cat_a.table(name), cat_b.table(name)
+        ma, mb = ta.manifest(), tb.manifest()
+        rows_a, rows_b = int(ta.row_count()), int(tb.row_count())
+        ca, cb = _user_cols(ta), _user_cols(tb)
+        cols_added = sorted(cb - ca)
+        cols_removed = sorted(ca - cb)
+        keys = list(ma["key_cols"])
+        cols_changed = empty
+        if cols_added or cols_removed or list(mb["key_cols"]) != keys:
+            status = "schema_changed"
+            n_diff = None
+        else:
+            diff = frame_diff(ta.read(), tb.read(), keys, rtol=rtol, atol=atol)
+            # one distributed pass: row-diff count + the distinct set of
+            # changed column names (bounded by the schema width)
+            agg = diff.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("changed_cols")))
+                ).alias("cols"),
+            ).first()
+            n_diff = int(agg["n"])
+            status = "data_changed" if n_diff else "equal"
+            cols_changed = list(agg["cols"] or [])
+        rows.append((name, status, cols_added, cols_removed, cols_changed,
+                     rows_a, rows_b, n_diff))
+    schema = (
+        "table string, status string, cols_added array<string>, "
+        "cols_removed array<string>, cols_changed array<string>, "
+        "rows_a long, rows_b long, n_row_diffs long"
+    )
+    return cat_a.spark.createDataFrame(rows, schema)
+
+
 def table_checksum(df: DataFrame) -> str:
     """Order- and partition-independent content checksum of a whole
     frame — the reference's dataset checksum contract (changes with

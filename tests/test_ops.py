@@ -164,6 +164,55 @@ def test_frame_diff(spark):
     assert frames_equal(left, left.orderBy(F.desc("k")), ["k"])
 
 
+def test_diff_catalogs_walk(spark, tmp_path):
+    """Catalog-level datadiff (etl/datadiff.py:29-150): one changed
+    table, one added, one removed, one equal, one schema-changed —
+    the full status vocabulary in one walk."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.table import LakeCatalog
+    from etl_spark.ops.diff import diff_catalogs
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    cat_a = LakeCatalog(spark, str(tmp_path / "a"))
+    cat_b = LakeCatalog(spark, str(tmp_path / "b"))
+
+    def fill(cat, name, rows, extra_col=False):
+        sch = schema
+        if extra_col:
+            sch = T.StructType(list(schema.fields) + [T.StructField("w", T.LongType(), True)])
+        t = cat.create_table(name, sch, ["k"], n_buckets=2)
+        cols = "k string, v long, op string, seq long" if not extra_col else \
+               "k string, v long, w long, op string, seq long"
+        t.merge_cdc(spark.createDataFrame(rows, cols), epoch=0)
+        return t
+
+    base = [("a", 1, "insert", 1), ("b", 2, "insert", 2)]
+    base_w = [("a", 1, 9, "insert", 1), ("b", 2, 9, "insert", 2)]
+    fill(cat_a, "same", base)
+    fill(cat_b, "same", base)
+    fill(cat_a, "changed", base)
+    fill(cat_b, "changed", [("a", 1, "insert", 1), ("b", 99, "insert", 2)])
+    fill(cat_a, "gone", base)
+    fill(cat_b, "new", base)
+    fill(cat_a, "wider", base)
+    fill(cat_b, "wider", base_w, extra_col=True)
+
+    d = {r["table"]: r for r in diff_catalogs(cat_a, cat_b).collect()}
+    assert d["same"]["status"] == "equal" and d["same"]["n_row_diffs"] == 0
+    assert d["changed"]["status"] == "data_changed"
+    assert d["changed"]["n_row_diffs"] == 1
+    assert d["changed"]["cols_changed"] == ["v"]
+    assert d["gone"]["status"] == "removed" and d["gone"]["rows_a"] == 2
+    assert d["new"]["status"] == "added" and d["new"]["rows_b"] == 2
+    assert "k" in d["new"]["cols_added"] and "v" in d["new"]["cols_added"]
+    assert d["wider"]["status"] == "schema_changed"
+    assert d["wider"]["cols_added"] == ["w"]
+
+
 def test_table_checksum_partition_invariant(spark):
     df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
     c1 = table_checksum(df.repartition(7))
