@@ -673,3 +673,97 @@ def test_advise_surfaces_maintenance_signals(spark, tmp_path):
     assert "compact" not in actions
     actions = {a["action"] for a in t.advise(expire_versions_over=3)}
     assert "expire_versions" in actions
+
+
+_WRITER_SCRIPT = r"""
+import os, sys, time
+sys.path.insert(0, sys.argv[5])
+from etl_spark.session import get_spark
+from etl_spark.lake.table import LakeTable
+
+root, writer, epochs, go_file = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+spark = get_spark(app_name=f"race_{writer}", cores=2, shuffle_partitions=2)
+t = LakeTable(spark, root)
+# signal ready, then spin until the parent flips GO so both JVMs merge
+# at the same time (startup skew would otherwise serialize them)
+open(os.path.join(os.path.dirname(go_file), f"ready_{writer}"), "w").close()
+while not os.path.exists(go_file):
+    time.sleep(0.05)
+for i, ep in enumerate(epochs.split(",")):
+    src = spark.createDataFrame(
+        [(f"r{writer}", f"p{i}_{j}", f"c{ep}", None, f"body-{writer}-{ep}-{j}",
+          "insert", int(ep) * 1000 + j) for j in range(50)],
+        "repo string, path string, commit string, lang string, content string, op string, seq long",
+    )
+    out = t.merge_cdc_with_retry(src, max_retries=20, epoch=int(ep))
+    print("WRITER", writer, "epoch", ep, "->", out["version"], flush=True)
+spark.stop()
+print("WRITER", writer, "DONE", flush=True)
+"""
+
+
+def test_multi_writer_process_race(spark, tmp_path, repos_schema):
+    """Two OS processes (separate JVMs) race merge_cdc_with_retry into
+    ONE table, synchronized to start together. Every epoch from both
+    writers must land exactly once (optimistic retry on the manifest
+    CAS), the final state must contain both writers' rows, and after
+    expire_versions the loser attempts' orphan data dirs are gone —
+    every surviving file is referenced by a live manifest."""
+    import subprocess
+    import sys
+    import time as _time
+
+    from etl_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "race")
+    t = LakeTable.create(spark, root, repos_schema, ["repo", "path"], n_buckets=4)
+    script = str(tmp_path / "writer.py")
+    with open(script, "w") as f:
+        f.write(_WRITER_SCRIPT)
+    go_file = str(tmp_path / "GO")
+    procs = {
+        w: subprocess.Popen(
+            [sys.executable, script, root, w, eps, go_file,
+             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for w, eps in (("a", "10,11,12"), ("b", "20,21,22"))
+    }
+    deadline = _time.time() + 120
+    while _time.time() < deadline and not all(
+        os.path.exists(str(tmp_path / f"ready_{w}")) for w in procs
+    ):
+        _time.sleep(0.2)
+    open(go_file, "w").close()
+    outs = {}
+    for w, p in procs.items():
+        outs[w], _ = p.communicate(timeout=300)
+        assert p.returncode == 0, f"writer {w} failed:\n{outs[w]}"
+        assert f"WRITER {w} DONE" in outs[w]
+
+    m = t.manifest()
+    assert set(m["epochs"]) == {"10", "11", "12", "20", "21", "22"}
+    # 6 merges -> versions 1..6, each parent chain intact
+    assert t.current_version() == 6
+    got = t.read()
+    assert got.count() == 300
+    assert got.filter("repo = 'ra'").count() == 150
+    assert got.filter("repo = 'rb'").count() == 150
+    # winner integrity: every row's content names its own writer
+    assert got.filter(
+        ~F.col("content").startswith(F.concat(F.lit("body-"), F.substring("repo", 2, 1)))
+    ).count() == 0
+    # loser orphan cleanup: expire everything but the tip, then every
+    # surviving parquet dir must be referenced by a live manifest
+    t.expire_versions(keep_last=1)
+    live = {e["path"] for e in t.manifest()["buckets"].values()}
+    for d in t.manifest().get("deltas", []):
+        live |= {e["path"] for e in d["buckets"].values()}
+    data_root = os.path.join(root, "data")
+    on_disk = set()
+    for vdir in os.listdir(data_root):
+        for bdir in os.listdir(os.path.join(data_root, vdir)):
+            if bdir.startswith("_b="):
+                on_disk.add(os.path.join(data_root, vdir, bdir))
+    assert on_disk <= live, f"orphans survived expiry: {sorted(on_disk - live)[:5]}"
+    assert t.read().count() == 300
