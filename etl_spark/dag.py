@@ -54,6 +54,10 @@ class Step:
     deps: Sequence[str] = ()
     version: str = "1"
     keys: Sequence[str] | None = None  # checksum/ordering keys; default all columns
+    # private datasets (the reference's `-private://` URI scheme,
+    # etl/command.py:337-338): a private step's output must never feed
+    # a public step — validated before every run
+    is_public: bool = True
 
     def code_checksum(self) -> str:
         try:
@@ -75,11 +79,12 @@ class Pipeline:
         # full-rebuild knob without touching any code
         self.epoch = epoch
 
-    def step(self, name: str, deps: Sequence[str] = (), version: str = "1", keys=None):
+    def step(self, name: str, deps: Sequence[str] = (), version: str = "1", keys=None,
+             is_public: bool = True):
         """Decorator: register ``fn(spark, load)`` as a step. ``load``
         is a callable returning a dependency's DataFrame by name."""
         def wrap(fn):
-            self.steps[name] = Step(name, fn, deps, version, keys)
+            self.steps[name] = Step(name, fn, deps, version, keys, is_public)
             return fn
         return wrap
 
@@ -155,18 +160,41 @@ class Pipeline:
                 frontier.extend(self.steps[n].deps)
         return [n for n in order if n in wanted]
 
+    def validate_private(self) -> None:
+        """No public step may depend on a private step — the boundary
+        that keeps a private dataset's rows from leaking into public
+        outputs (the reference's _validate_private_steps,
+        etl/command.py:326-338; private steps themselves may depend on
+        anything). Raises ValueError naming every violation."""
+        bad = [
+            f"public step {s.name!r} depends on private {d!r}"
+            for s in self.steps.values() if s.is_public
+            for d in s.deps
+            if d in self.steps and not self.steps[d].is_public
+        ]
+        if bad:
+            raise ValueError("; ".join(sorted(bad)))
+
     def run(
         self,
         only: Sequence[str] | None = None,
         force: bool = False,
         downstream: bool = False,
+        private: bool = True,
     ) -> dict[str, str]:
         """Run dirty steps in dependency order; returns
         {step: 'ran' | 'skipped'}. Clean steps are skipped entirely
-        (their datasets are not even read unless a dependent runs)."""
+        (their datasets are not even read unless a dependent runs).
+        ``private=False`` excludes private steps from the selection
+        (the reference's default without --private; public steps are
+        unaffected because the validated DAG never routes a public
+        step through a private one)."""
+        self.validate_private()
         results: dict[str, str] = {}
         for name in self.topological_order(only, downstream=downstream):
             step = self.steps[name]
+            if not private and not step.is_public:
+                continue
             input_sum = self.checksum_input(step)
             if not force and self._stored_meta(name).get("source_checksum") == input_sum:
                 results[name] = "skipped"
@@ -179,7 +207,8 @@ class Pipeline:
             write_with_meta(
                 df, out_path,
                 meta={"source_checksum": input_sum, "output_checksum": out_sum,
-                      "step": name, "version": step.version},
+                      "step": name, "version": step.version,
+                      "is_public": step.is_public},
             )
             results[name] = "ran"
         return results

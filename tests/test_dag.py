@@ -184,3 +184,47 @@ def test_watch_mode_reruns_on_mtime_change(spark, tmp_path):
     assert runs >= 2  # initial pass + at least one change-triggered pass
     # the change-triggered pass skipped the clean step
     assert p.run() == {"a": "skipped"}
+
+
+def test_private_steps_validated_and_filtered(spark, tmp_path):
+    """Private-dataset semantics (etl/command.py:326-338): a public
+    step depending on a private one is rejected before anything runs;
+    private steps may depend on anything; private=False excludes
+    private steps from the run; is_public lands in the sidecar."""
+    from etl_spark.sources.files import read_meta
+
+    p = Pipeline(spark, str(tmp_path))
+
+    @p.step("open_src")
+    def open_src(s, load):
+        return s.range(3).select(F.col("id").alias("k"))
+
+    @p.step("secret", deps=["open_src"], is_public=False)
+    def secret(s, load):
+        return load("open_src").withColumn("v", F.col("k") * 10)
+
+    @p.step("secret_derived", deps=["secret"], is_public=False)
+    def secret_derived(s, load):
+        return load("secret").filter(F.col("v") > 0)
+
+    # valid DAG: private->private and private->public edges only
+    out = p.run()
+    assert out == {"open_src": "ran", "secret": "ran", "secret_derived": "ran"}
+    assert read_meta(p._path("secret"))["is_public"] is False
+    assert read_meta(p._path("open_src"))["is_public"] is True
+
+    # private=False runs only the public subgraph
+    p2 = Pipeline(spark, str(tmp_path / "pub_only"))
+    p2.add(p.steps["open_src"])
+    p2.add(p.steps["secret"])
+    assert p2.run(private=False) == {"open_src": "ran"}
+
+    # a public step leaning on a private dependency is rejected loudly
+    @p.step("leak", deps=["secret"])
+    def leak(s, load):
+        return load("secret")
+
+    with pytest.raises(ValueError, match="public step 'leak' depends on private 'secret'"):
+        p.run()
+    with pytest.raises(ValueError):
+        p.validate_private()
