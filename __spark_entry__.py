@@ -61,6 +61,7 @@ from etl_spark.text.analysis import (
     fingerprint,
     langid,
     quality_features,
+    tfidf_top_terms,
     token_count,
 )
 
@@ -1933,6 +1934,115 @@ SELECT user_id, 'click_only' AS set_op FROM (
 """
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join (pandas merge_asof / DuckDB ASOF JOIN): each
+    purchase picks up the latest same-user view at-or-before it —
+    composed as ONE union + window pass (see ops.relational.asof_join;
+    an inequality join would plan as a per-group nested loop)."""
+    from etl_spark.ops.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # right side made unique per (user, ts): max value breaks ties
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(purchases, views, by=["user_id"], left_ts="ts",
+                    right_ts="ts", value_cols=["view_value"])
+    # timestamps leave as epoch micros: raw TIMESTAMP passthrough
+    # compares unit-sensitively between Arrow producers (ns vs us)
+    # TIMESTAMP_NTZ -> TIMESTAMP cast is exact under the engine's
+    # pinned UTC session timezone, then epoch micros
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value",
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("view_ts_us"),
+        F.col("view_value_asof").alias("view_value"),
+    )
+
+
+_SQL_ASOF = """
+WITH v AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, EPOCH_US(p.ts) AS ts_us, p.value,
+       EPOCH_US(v.ts) AS view_ts_us, v.view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_dedup_components(spark, sf_dir):
+    """Global dedup groups: connected components (alternating
+    neighbor-min + pointer-jumping, Kiveris et al. SOCC'14) over the
+    LSH star edges — turns per-band local representatives into one
+    min-id label per near-duplicate cluster."""
+    from etl_spark.dedup.cascade import lsh_star_edges
+    from etl_spark.dedup.cc import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    edges = lsh_star_edges(d, k=8, bands=4, shingle_n=3)
+    return connected_components(edges, src="rep_id", dst="member_id")
+
+
+def _sql_dedup_components() -> str:
+    # the star-edge construction is the SAME oracle SQL the
+    # minhash_star_edges query pins; components via transitive closure
+    # (recursive CTE) + min label — tractable because near-dup
+    # clusters at oracle scale are tiny
+    return f"""
+WITH RECURSIVE edges AS ({_sql_minhash_star()}),
+sym AS (
+  SELECT rep_id AS a, member_id AS b FROM edges
+  UNION
+  SELECT member_id, rep_id FROM edges
+),
+reach(src, dst) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (rounded-then-ranked so the
+    ordering is libm-independent; see text.analysis.tfidf_top_terms)."""
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+_SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM documents, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '[^a-z]+')) AS u(t)
+  WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         FLOOR(tf * LN(n::DOUBLE / df) * 1e6 + 0.5) / 1e6 AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
@@ -2001,6 +2111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shift_lag": q_shift_lag,
         "row_sum": q_row_sum,
         "set_ops": q_set_ops,
+        "asof_attribution": q_asof_attribution,
+        "dedup_components": q_dedup_components,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -2236,4 +2349,7 @@ FROM documents
         "shift_lag": _SQL_SHIFT,
         "row_sum": _SQL_ROW_SUM,
         "set_ops": _SQL_SET_OPS,
+        "asof_attribution": _SQL_ASOF,
+        "dedup_components": _sql_dedup_components(),
+        "tfidf_top_terms": _SQL_TFIDF,
     }

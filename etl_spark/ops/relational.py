@@ -180,6 +180,55 @@ def merge(
     return l.join(r, on, how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: each left row picks up the ``value_cols`` of the
+    most recent right row with ``right_ts <= left_ts`` in the same
+    ``by`` group (pandas merge_asof / DuckDB ASOF JOIN semantics,
+    left-join flavored: no prior right row -> NULLs).
+
+    NOT an inequality join — Spark plans ``l.ts >= r.ts`` as a
+    broadcast-nested-loop (O(|L|x|R|) per group). Instead: union both
+    sides tagged, ONE window pass per ``by`` group ordered by
+    (ts, side) with right rows sorting before left rows at equal ts,
+    and last(value, ignorenulls) carries the latest right values
+    forward. One shuffle on the group keys, linear in |L|+|R|, skew
+    behaves like any keyed window (hot groups -> AQE / salting
+    upstream).
+
+    ``right`` must be unique per (by, right_ts) — pre-aggregate ties
+    (e.g. max per key+ts) or the carried value is partition-order
+    dependent.
+    """
+    by = list(by)
+    vals = list(value_cols)
+    ts_out = right_ts + suffix
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.col(right_ts).alias(ts_out),
+        *[F.col(c).alias(c + suffix) for c in vals],
+        F.lit(0).alias("__side"),
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in [ts_out] + [c + suffix for c in vals]:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).drop("__ts", "__side")
+
+
 # ---------------------------------------------------------------------------
 # ordered / window computations (SURVEY.md §2.5)
 # ---------------------------------------------------------------------------

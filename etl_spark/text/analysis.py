@@ -159,3 +159,49 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         shifted = F.slice(toks, j + 1, F.greatest(k - j, F.lit(0)))
         sh = F.zip_with(sh, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
     return F.filter(sh, lambda x: x.isNotNull())
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document -> (id, term, tf, tfidf,
+    rank). tfidf = tf * ln(N / df), rounded to ``round_to`` decimals
+    BEFORE ranking (ties broken by term asc) so the ranking is stable
+    across engines/libms.
+
+    Plan shape for 100 TB: one tokenize+explode scan -> (doc, term)
+    counts (map-side combinable); df is an aggregate of that SAME
+    (doc, term) table, not a second text scan; N rides in as a 1-row
+    broadcast cross join; top-k is a per-doc window that Catalyst
+    executes as WindowGroupLimit. The shuffles carry (doc_id, term,
+    count) — never the document payload."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.floor(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))
+                * F.lit(10.0 ** round_to) + F.lit(0.5)
+            ) / F.lit(10.0 ** round_to),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

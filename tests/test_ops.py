@@ -326,3 +326,68 @@ def test_hash_sample_and_split(spark):
         hash_split(df, "k", {"a": 0.5, "b": 0.4})
     with _pytest.raises(ValueError):
         hash_sample(df, "k", 1.5)
+
+
+def test_asof_join_backward(spark):
+    """pandas merge_asof semantics: most recent right row at-or-before
+    each left row per group; no prior row -> NULLs; equal-ts right row
+    IS visible (>=, not >)."""
+    from etl_spark.ops.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 5, "p5"), ("u1", 10, "p10"), ("u1", 20, "p20"), ("u2", 7, "q7")],
+        "uid string, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0), ("u1", 15, 2.0), ("u2", 9, 9.0)],
+        "uid string, t long, v double",
+    )
+    out = asof_join(left, right, by=["uid"], left_ts="t", right_ts="t", value_cols=["v"])
+    got = {r["tag"]: (r["t_asof"], r["v_asof"]) for r in out.collect()}
+    assert got == {
+        "p5": (None, None),      # nothing at or before 5
+        "p10": (10, 1.0),        # equal ts matches (>= semantics)
+        "p20": (15, 2.0),        # latest prior, not first
+        "q7": (None, None),      # group isolation: u2's view is at 9
+    }
+    # left row count is preserved exactly (left-join flavor)
+    assert out.count() == 4
+
+
+def test_connected_components_min_label(spark):
+    """Two chained components + determinism: labels are the min id of
+    each component regardless of input partitioning."""
+    from etl_spark.dedup.cc import connected_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3,4} as a path; component {10,11}; self-loop ignored
+        [(2, 1), (3, 2), (4, 3), (10, 11), (5, 5)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    got2 = {
+        r["id"]: r["component"]
+        for r in connected_components(edges.repartition(7)).collect()
+    }
+    assert got2 == got
+
+
+def test_tfidf_top_terms_rank_and_ties(spark):
+    from etl_spark.text.analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"), (2, "banana cherry common"), (3, "common")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tf"]) for r in out.collect()}
+    # doc 1: apple appears twice and only there -> top term
+    assert rows[(1, 1)] == ("apple", 2)
+    # common appears in every doc -> idf = ln(1) = 0, never outranks others
+    assert rows[(1, 2)][0] == "banana"
+    # doc 2: banana (df=2) vs cherry (df=1): cherry has higher idf
+    assert rows[(2, 1)] == ("cherry", 1)
+    # doc 3 has only a zero-idf term; it still appears, ranked 1
+    assert rows[(3, 1)][0] == "common"
+    assert out.filter("tfidf < 0").count() == 0
