@@ -160,6 +160,50 @@ class Snapshot:
         step, etl/snapshot.py:80-121)."""
         return cls(path, file_md5(path), fmt=fmt, schema=schema, **options)
 
+    @classmethod
+    def pull(
+        cls, url: str, dest: str, md5: str, fmt: str = "csv",
+        schema=None, chunk_bytes: int = 1 << 20, **options,
+    ) -> "Snapshot":
+        """Fetch a pinned snapshot from a URL — the reference's
+        Snapshot.pull / download_from_source (etl/snapshot.py:80-121)
+        with the DVC-md5 contract inlined:
+
+        - already-pinned local copy -> no transfer (idempotent pull);
+        - otherwise stream to a tmp file in ``chunk_bytes`` pieces,
+          hashing as bytes arrive (never the whole file in memory);
+        - the md5 is verified BEFORE the atomic rename publishes the
+          file — a corrupted/changed upstream can never land at
+          ``dest``, and a reader holding the old path never sees torn
+          bytes.
+
+        urllib handles file:// (exercised in tests — this sandbox has
+        no network) and http(s):// (same code path in production).
+        """
+        import urllib.request
+
+        if os.path.exists(dest) and file_md5(dest) == md5:
+            return cls(dest, md5, fmt=fmt, schema=schema, **options)
+        os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        h = hashlib.md5()
+        try:
+            with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+                for chunk in iter(lambda: r.read(chunk_bytes), b""):
+                    h.update(chunk)
+                    f.write(chunk)
+                f.flush()
+                os.fsync(f.fileno())
+            if h.hexdigest() != md5:
+                raise SnapshotError(
+                    f"pull pin mismatch for {url}: expected {md5}, got {h.hexdigest()}"
+                )
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        return cls(dest, md5, fmt=fmt, schema=schema, **options)
+
 
 # ---------------------------------------------------------------------------
 # conditional refresh (the reference's ETag/URL change detection,

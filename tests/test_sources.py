@@ -221,3 +221,29 @@ def test_replay_job_backport_mode(spark, tmp_path):
     a = LakeTable(spark, t1)
     b = LakeTable(spark, t2)
     assert table_checksum(a.read()) == table_checksum(b.read())
+
+
+def test_snapshot_pull_file_url(spark, tmp_path):
+    """Remote snapshot transport (etl/snapshot.py:80-121): pull over a
+    URL, md5-verified BEFORE the atomic publish; idempotent re-pull;
+    corrupted upstream never lands at dest."""
+    src = tmp_path / "upstream.csv"
+    src.write_text("a,b\n1,x\n2,y\n")
+    md5 = file_md5(str(src))
+    dest = tmp_path / "local" / "pinned.csv"
+
+    snap = Snapshot.pull(src.as_uri(), str(dest), md5, fmt="csv", schema="a int, b string")
+    assert dest.exists()
+    assert snap.read(spark).count() == 2
+
+    # idempotent: second pull with a matching local copy does no transfer
+    mtime = dest.stat().st_mtime_ns
+    Snapshot.pull(src.as_uri(), str(dest), md5)
+    assert dest.stat().st_mtime_ns == mtime
+
+    # upstream changed out from under the pin -> refused, dest intact
+    src.write_text("a,b\n9,z\n")
+    with pytest.raises(SnapshotError, match="pull pin mismatch"):
+        Snapshot.pull(src.as_uri(), str(tmp_path / "local" / "other.csv"), md5)
+    assert not (tmp_path / "local" / "other.csv").exists()
+    assert snap.read(spark).count() == 2
