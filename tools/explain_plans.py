@@ -241,6 +241,47 @@ def main() -> int:
         failures.append("mix_sources: unexpected Exchange in plan")
     sections.append(("Source mixing: shuffle-free replication", p11, checks11))
 
+    # 12. as-of join: ONE Exchange on the group key feeds the window —
+    # never a nested-loop join (the naive l.ts >= r.ts plan)
+    from etl_spark.ops.relational import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("view_value")))
+    q12 = asof_join(purchases, views, by=["user_id"], left_ts="ts", right_ts="ts",
+                    value_cols=["view_value"])
+    p12 = plan_of(q12)
+    checks12 = []
+    if "NestedLoop" not in p12 and "CartesianProduct" not in p12:
+        checks12.append("OK no nested-loop/cartesian join (union+window form)")
+    else:
+        failures.append("asof_join: nested-loop join in plan")
+    n_ex = p12.count("Exchange hashpartitioning")
+    if n_ex <= 2:  # right-side pre-aggregate + the window clustering
+        checks12.append(f"OK {n_ex} key Exchanges (pre-agg + window clustering)")
+    else:
+        failures.append(f"asof_join: {n_ex} Exchanges (expected <=2)")
+    sections.append(("As-of join: union+window, no nested loop", p12, checks12))
+
+    # 13. tfidf: top-k per doc runs as WindowGroupLimit; doc payload
+    # never shuffles (exchanges carry (doc_id, term, counts) only)
+    from etl_spark.text.analysis import tfidf_top_terms
+
+    q13 = tfidf_top_terms(docs, k=3)
+    p13 = plan_of(q13)
+    checks13 = []
+    if "WindowGroupLimit" in p13:
+        checks13.append("OK top-k per doc is WindowGroupLimit (top-3 during sort)")
+    else:
+        failures.append("tfidf: WindowGroupLimit missing")
+    m = re.search(r"ReadSchema: ([^\n]+)", p13)
+    if m and "text" in m.group(1) and "source" not in m.group(1):
+        checks13.append("OK scan pruned to (doc_id, text)")
+    else:
+        failures.append("tfidf: scan not pruned")
+    sections.append(("TF-IDF: WindowGroupLimit top-k, pruned scan", p13, checks13))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
