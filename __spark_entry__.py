@@ -2020,6 +2020,44 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(d, k=3)
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Exact grouped quantiles: Spark's sort-based `percentile`
+    (type-7 linear interpolation, same rule as DuckDB quantile_cont
+    and pandas `quantile`, the reference's distribution-stats tool in
+    steps) per event_type over events.value. Exact, not
+    approx_percentile — the oracle must match bit-for-bit after _r
+    rounding. One shuffle on the group key; percentile's per-group
+    sort state is bounded by group size, the right exactness/cost
+    trade below ~1e8 rows per group (above that, switch to
+    approx_percentile and drop the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.95)))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("value").alias("n"), pct.alias("p"))
+        .select(
+            "event_type",
+            "n",
+            _r(F.col("p")[0], 6).alias("p25"),
+            _r(F.col("p")[1], 6).alias("p50"),
+            _r(F.col("p")[2], 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_QUANTILES = """
+SELECT event_type,
+       COUNT(value) AS n,
+       FLOOR(quantile_cont(value, 0.25) * 1e6 + 0.5) / 1e6 AS p25,
+       FLOOR(quantile_cont(value, 0.50) * 1e6 + 0.5) / 1e6 AS p50,
+       FLOOR(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p95
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 _SQL_TFIDF = """
 WITH toks AS (
   SELECT doc_id, t AS term
@@ -2114,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "dedup_components": q_dedup_components,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "group_quantiles": q_group_quantiles,
     }
 
 
@@ -2352,4 +2391,5 @@ FROM documents
         "asof_attribution": _SQL_ASOF,
         "dedup_components": _sql_dedup_components(),
         "tfidf_top_terms": _SQL_TFIDF,
+        "group_quantiles": _SQL_QUANTILES,
     }

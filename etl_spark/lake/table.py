@@ -1367,7 +1367,7 @@ class LakeTable:
                         f"{chain} retained parent versions (> {expire_versions_over})"})
         return out
 
-    def expire_versions(self, keep_last: int = 2) -> None:
+    def expire_versions(self, keep_last: int = 2, orphan_grace_sec: float = 3600.0) -> None:
         """Expire old versions: drop data/delta dirs (and manifest
         JSONs) only referenced by expired versions. Retained always:
         the last ``keep_last`` versions, tagged versions (a tag is a
@@ -1379,29 +1379,61 @@ class LakeTable:
         Expired manifests are deleted too, so the change feed's
         horizon is REAL: ``changes_since(v_from)`` on an expired
         v_from fails fast at the manifest read (ExpiredVersionError)
-        instead of later at scan time with a missing path."""
+        instead of later at scan time with a missing path.
+
+        Orphan grace window: a concurrent writer's data dir lands on
+        disk BEFORE its manifest commit (_write_buckets), so a dir
+        referenced by NO manifest is either a loser's abandoned
+        attempt or an in-flight write about to be committed — the two
+        are indistinguishable from the filesystem alone. Dirs
+        referenced by some (expired) manifest are reclaimed
+        immediately; never-referenced dirs are reclaimed only once
+        older than ``orphan_grace_sec`` (Delta VACUUM's retention
+        check, scoped to the uncommitted window). Grace must exceed
+        the longest write-to-commit latency of any live writer."""
         cur = self.current_version()
         live: set[str] = set()
         keep_vs = set(range(max(0, cur - keep_last + 1), cur + 1))
         keep_vs.update(int(v) for v in self.tags().values())
         keep_vs.update(int(v) for v in self.pins().values())
-        for v in sorted(keep_vs):
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                continue
+        referenced: set[str] = set()  # dirs referenced by ANY manifest on disk
+
+        def _dirs_of(m: dict, into: set) -> None:
             for ent in m["buckets"].values():
-                live.add(os.path.dirname(ent["path"]))
+                into.add(os.path.dirname(ent["path"]))
             for d in m.get("deltas", []):
                 for ent in d["buckets"].values():
-                    live.add(os.path.dirname(ent["path"]))
+                    into.add(os.path.dirname(ent["path"]))
+
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    v = int(fn[1:-5])
+                except ValueError:
+                    continue
+                try:
+                    m = self.manifest(v)
+                except FileNotFoundError:
+                    continue
+                _dirs_of(m, referenced)
+                if v in keep_vs:
+                    _dirs_of(m, live)
+        now = time.time()
         for sub in ("data", "delta"):
             root = os.path.join(self.root, sub)
             if os.path.isdir(root):
                 for d in os.listdir(root):
                     full = os.path.join(root, d)
-                    if full not in live:
-                        shutil.rmtree(full, ignore_errors=True)
+                    if full in live:
+                        continue
+                    if full not in referenced:
+                        try:
+                            age = now - os.path.getmtime(full)
+                        except OSError:
+                            continue
+                        if age < orphan_grace_sec:
+                            continue  # possibly an in-flight write
+                    shutil.rmtree(full, ignore_errors=True)
         # manifests of expired versions go last: data-dir removal above
         # never depends on them, and a crash in between leaves only
         # harmless extra manifests (re-run converges)

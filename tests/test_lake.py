@@ -164,6 +164,34 @@ def test_expire_versions(spark, tmp_path):
     assert t.read().first()["v"] == 3  # current still readable
 
 
+def test_expire_orphan_grace_protects_inflight_write(spark, tmp_path):
+    """The vacuum race: a concurrent writer's data dir exists on disk
+    before its manifest commit. expire_versions must NOT reclaim a
+    never-referenced dir younger than the grace window (it may be an
+    in-flight write), must reclaim it once aged past the window, and
+    must reclaim expired-manifest-referenced dirs immediately
+    regardless of mtime (their manifests prove no writer owns them)."""
+    import os
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    for i in range(3):
+        t.merge_cdc(_src(spark, [("a", i, "update" if i else "insert", i + 1)]), epoch=i)
+    # simulate an in-flight writer: data dir present, no manifest yet
+    inflight = tmp_path / "t" / "data" / "v99-deadbeef"
+    inflight.mkdir(parents=True)
+    (inflight / "_b=0").mkdir()
+    t.expire_versions(keep_last=1)  # default 1h grace
+    assert inflight.is_dir(), "fresh unreferenced dir must survive (may be in-flight)"
+    # expired versions' dirs are gone even though their mtimes are recent:
+    # they are referenced by (now deleted) manifests, so provably abandoned
+    assert t.read().first()["v"] == 2
+    # age the orphan past the window -> reclaimed
+    old = 1_000_000_000
+    os.utime(inflight, (old, old))
+    t.expire_versions(keep_last=1)
+    assert not inflight.exists(), "aged orphan must be reclaimed"
+
+
 def test_purge_tombstones(spark, tmp_path, repos_schema):
     from pyspark.sql import functions as F
 
@@ -468,9 +496,13 @@ def test_merge_retry_after_conflict_and_orphan_cleanup(spark, tmp_path, repos_sc
     assert res["skipped"] is False
     got = {r["path"]: r["content"] for r in t.read().collect()}
     assert got == {"a": "one", "b": "two", "c": "three"}
-    # the failed attempt left an orphan data dir; expire_versions removes it
+    # the failed attempt left an orphan data dir. Within the grace
+    # window it is indistinguishable from an in-flight write, so the
+    # default expire keeps it; with the grace waived it is reclaimed.
     n_dirs_before = len(glob.glob(str(tmp_path / "r" / "data" / "v*")))
-    t.expire_versions(keep_last=10)  # keep all live versions
+    t.expire_versions(keep_last=10)  # keep all live versions; fresh orphan survives
+    assert len(glob.glob(str(tmp_path / "r" / "data" / "v*"))) == n_dirs_before
+    t.expire_versions(keep_last=10, orphan_grace_sec=0.0)
     n_dirs_after = len(glob.glob(str(tmp_path / "r" / "data" / "v*")))
     assert n_dirs_after < n_dirs_before
     assert {r["path"] for r in t.read().collect()} == {"a", "b", "c"}
