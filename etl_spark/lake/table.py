@@ -1012,6 +1012,88 @@ class LakeTable:
               "committed_at": time.time()}
         return self._commit(m2)
 
+    def restore(self, version: int, epoch=None) -> dict:
+        """Roll the table back to snapshot ``version`` AS A CHANGE —
+        a compensating merge, not a pointer flip. Delta-style
+        metadata-only RESTORE (point CURRENT's manifest at the old
+        files) would silently break every incremental consumer:
+        restored files carry their original ``_cv`` stamps, so
+        ``changes_since(v)`` max_cv-prunes them and a downstream sync
+        never converges to the rolled-back state. Instead the diff
+        between the current and target snapshots is computed
+        (O(changed buckets): both sides restricted to buckets the
+        manifests prove changed) and applied through the normal merge
+        path with fresh seq/_cv stamps: keys that changed or died are
+        upserted back to their old values, keys created since are
+        tombstoned. The change feed, epoch fences, retention pins and
+        downstream syncs all stay sound because the restore IS an
+        ordinary change batch. Columns added since ``version``
+        (widen-only evolution is irreversible) are NULLed on restored
+        rows. Reference analog: re-running an old snapshot's step to
+        overwrite a bad publish (etl/command.py force path) — here as
+        one keyed diff instead of a full rebuild."""
+        import functools
+
+        m_cur = self.manifest()
+        m_old = self.manifest(version)  # ExpiredVersionError past horizon
+        if m_old["version"] == m_cur["version"]:
+            return {"version": m_cur["version"], "skipped": True, "rows_written": 0}
+        changed = self._changed_buckets(m_old, m_cur)
+        if not changed:
+            return {"version": m_cur["version"], "skipped": True, "rows_written": 0}
+        same_layout = m_old["n_buckets"] == m_cur["n_buckets"]
+        # with a rebucket in between, bucket ids are not comparable
+        # across versions -> diff the full snapshots on both sides
+        restrict = changed if same_layout else None
+        keys = m_cur["key_cols"]
+        user = [f.name for f in self._user_fields(m_cur)]
+        cur_types = {f.name: f.dataType for f in self._user_fields(m_cur)}
+        old_cols = {f.name for f in T.StructType.fromJson(
+            m_old["schemas"][m_old["current_schema_id"]]).fields}
+        align_old = [
+            (F.col(c).cast(cur_types[c]) if c in old_cols
+             else F.lit(None).cast(cur_types[c])).alias(c)
+            for c in user
+        ]
+        o = (self.read(version=m_old["version"], buckets=restrict)
+             .select(*align_old).withColumn("__o_live", F.lit(True)).alias("o"))
+        c = (self.read(buckets=restrict).select(*user)
+             .withColumn("__c_live", F.lit(True)).alias("c"))
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"o.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys],
+        )
+        j = o.join(c, cond, "full_outer")
+        nonkey = [cc for cc in user if cc not in keys]
+        same_vals = (
+            F.struct(*[F.col(f"o.{cc}") for cc in nonkey]).eqNullSafe(
+                F.struct(*[F.col(f"c.{cc}") for cc in nonkey]))
+            if nonkey else F.lit(True)
+        )
+        o_live = F.coalesce(F.col("o.__o_live"), F.lit(False))
+        c_live = F.coalesce(F.col("c.__c_live"), F.lit(False))
+        op = (
+            F.when(o_live & (~c_live | ~same_vals), F.lit("upsert"))
+            .when(~o_live & c_live, F.lit("delete"))
+        )
+        out_keys = [F.when(o_live, F.col(f"o.{k}")).otherwise(F.col(f"c.{k}")).alias(k)
+                    for k in keys]
+        out_vals = [F.col(f"o.{cc}").alias(cc) for cc in nonkey]  # deletes carry NULLs
+        diff = (
+            j.select(*out_keys, *out_vals, op.alias("op"))
+            .filter(F.col("op").isNotNull())
+        )
+        cur_max = m_cur.get("max_seq")
+        if cur_max is None and (m_cur["buckets"] or m_cur.get("deltas")):
+            cur_max = (
+                self.read(include_tombstones=True).agg(F.max(self.seq_col)).first()[0]
+            )
+        diff = diff.withColumn("seq", F.lit((cur_max or 0) + 1).cast("long"))
+        return self.merge_cdc(
+            diff, epoch=epoch,
+            extra_manifest={"restored_from": int(m_old["version"])},
+        )
+
     # ---------- changelog / incremental read ----------
 
     def _user_fields(self, m: dict) -> list[T.StructField]:

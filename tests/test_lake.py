@@ -447,6 +447,66 @@ def test_catalog_info(spark, tmp_path):
     assert cat.info().filter("rows > 0").count() == 1
 
 
+def test_restore_compensating_merge(spark, tmp_path):
+    """restore(v) rolls user-visible state back to snapshot v as an
+    ordinary change batch: changed keys upsert back to old values,
+    keys created since are tombstoned — so an incremental mirror that
+    already consumed the bad versions CONVERGES to the restored state
+    (a pointer-flip restore would be invisible to changes_since)."""
+    from etl_spark.lake.incremental import sync
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    v_good = t.current_version()
+    good = {r["k"]: r["v"] for r in t.read().collect()}
+    # bad batches: change a, delete b, create c
+    t.merge_cdc(_src(spark, [("a", 99, "update", 3), ("b", 0, "delete", 4)]), epoch=1)
+    t.merge_cdc(_src(spark, [("c", 7, "insert", 5)]), epoch=2)
+
+    # a mirror consumes everything, including the bad versions
+    mirror = LakeTable.create(spark, str(tmp_path / "m"), _schema(), ["k"], n_buckets=4)
+    sync(t, mirror)
+    assert {r["k"]: r["v"] for r in mirror.read().collect()} == {"a": 99, "c": 7}
+
+    res = t.restore(v_good)
+    assert res["skipped"] is False
+    assert {r["k"]: r["v"] for r in t.read().collect()} == good
+    assert t.manifest().get("restored_from") == v_good
+    # the compensating rows flow through the change feed
+    feed = t.changes_since(res["version"] - 1)
+    kinds = {r["k"]: r["_change_type"] for r in feed.collect()}
+    assert kinds == {"a": "upsert", "b": "upsert", "c": "delete"}
+    # and the lagging mirror converges without a rebuild
+    sync(t, mirror)
+    assert {r["k"]: r["v"] for r in mirror.read().collect()} == good
+    # restoring to the already-current state is a no-op
+    v_now = t.current_version()
+    res2 = t.restore(v_now)
+    assert res2["skipped"] is True and t.current_version() == v_now
+
+
+def test_restore_nulls_columns_added_since(spark, tmp_path):
+    """Widen-only evolution is irreversible: restore keeps the evolved
+    schema but NULLs columns added after the target snapshot on every
+    restored row."""
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    v_good = t.current_version()
+    t.merge_cdc(
+        _src(spark, [("a", 2, 10, "update", 2)],
+             extra_fields=(T.StructField("w", T.IntegerType(), True),)),
+        epoch=1,
+    )
+    assert t.read().first()["w"] == 10
+    t.restore(v_good)
+    row = t.read().first()
+    assert row["v"] == 1 and row["w"] is None
+    assert "w" in [f.name for f in t.schema().fields]  # schema stays evolved
+
+
 def test_merge_retry_after_conflict_and_orphan_cleanup(spark, tmp_path, repos_schema):
     """A writer that loses the version race retries against the new
     CURRENT and lands both changes; the loser's orphaned attempt dir
