@@ -181,6 +181,7 @@ class LakeTable:
         derived: dict[str, tuple[str, str]] | None = None,
         write_mode: str = "cow",
         bloom_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
     ) -> "LakeTable":
         """``derived`` declares engine-maintained columns computed on
         merge winners, e.g. {"content_sha256": ("sha256", "content")}.
@@ -198,7 +199,17 @@ class LakeTable:
         (typically the key columns). Point lookups then skip row
         groups whose bloom provably excludes the probed keys — the
         within-bucket complement to hash-bucket pruning. Costs file
-        size; opt in where point reads matter."""
+        size; opt in where point reads matter.
+
+        ``sort_cols``: cluster rows by these columns WITHIN each
+        bucket file on every rewrite (merge, compact, rebucket) — a
+        sortWithinPartitions, no extra shuffle. Hash bucketing
+        scatters any non-key column across the full value range, so
+        parquet row-group min/max stats are useless for range
+        predicates on it; with clustering the row groups cover
+        narrow disjoint ranges and Spark's pushed filters skip them
+        (ZORDER-lite, one dimension). Opt in for the timestamp-ish
+        column your scans range over."""
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
         t = cls(spark, root)
@@ -235,6 +246,7 @@ class LakeTable:
             "derived": {k: list(v) for k, v in (derived or {}).items()},
             "write_mode": write_mode,
             "bloom_cols": list(bloom_cols or []),
+            "sort_cols": list(sort_cols or []),
             "deltas": [],
             "max_seq": None,
             "committed_at": time.time(),
@@ -592,6 +604,12 @@ class LakeTable:
         out_df = df.select(F.col(_BUCKET), *ordered)
         if not pre_partitioned:
             out_df = out_df.repartition(self.n_buckets, F.col(_BUCKET))
+        # within-file clustering (see create's sort_cols): partition ==
+        # bucket on both paths here, so this is a per-bucket local sort
+        sort_cols = [c for c in self.manifest().get("sort_cols", [])
+                     if c in schema.names]
+        if sort_cols:
+            out_df = out_df.sortWithinPartitions(_BUCKET, *sort_cols)
         self._apply_write_options(out_df.write).partitionBy(_BUCKET).mode(
             "overwrite"
         ).parquet(data_dir)
@@ -761,9 +779,13 @@ class LakeTable:
         # unique per attempt — same concurrency rationale as _write_buckets
         delta_dir = os.path.join(self.root, "delta", f"v{v}-{uuid.uuid4().hex[:8]}")
         ordered = [F.col(f.name).cast(f.dataType).alias(f.name) for f in new_schema.fields]
-        self._apply_write_options(
-            kept.select(F.col(_BUCKET), *ordered).write
-        ).partitionBy(_BUCKET).mode("overwrite").parquet(delta_dir)
+        out_df = kept.select(F.col(_BUCKET), *ordered)
+        sort_cols = [c for c in m.get("sort_cols", []) if c in new_schema.names]
+        if sort_cols:
+            out_df = out_df.sortWithinPartitions(_BUCKET, *sort_cols)
+        self._apply_write_options(out_df.write).partitionBy(_BUCKET).mode(
+            "overwrite"
+        ).parquet(delta_dir)
         out = {}
         for d in os.listdir(delta_dir):
             if d.startswith(f"{_BUCKET}="):

@@ -447,6 +447,46 @@ def test_catalog_info(spark, tmp_path):
     assert cat.info().filter("rows > 0").count() == 1
 
 
+def test_sort_cols_cluster_within_bucket_files(spark, tmp_path):
+    """sort_cols clusters rows within every bucket file on rewrite, so
+    parquet row-group min/max stats become selective for range
+    predicates on the sort column (hash bucketing alone scatters it
+    across the full range in every row group)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_spark.lake.table import LakeTable
+
+    sch = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("v", T.IntegerType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), sch, ["k"], n_buckets=2,
+                         sort_cols=["ts"])
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"k{i}", rng.randrange(10**6), i, "insert", i + 1) for i in range(4000)]
+    src = spark.createDataFrame(
+        rows, "k string, ts long, v int, op string, seq long")
+    t.merge_cdc(src, epoch=0)
+    files = glob.glob(str(tmp_path / "t" / "data" / "v*" / "_b=*" / "*.parquet"))
+    assert files
+    for f in files:
+        ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+        assert ts == sorted(ts), f"rows not clustered by ts in {f}"
+    # survives a second merge (full bucket rewrite re-sorts)
+    t.merge_cdc(spark.createDataFrame(
+        [("k1", 5, 99, "update", 10_000)],
+        "k string, ts long, v int, op string, seq long"), epoch=1)
+    files = glob.glob(str(tmp_path / "t" / "data" / "v*" / "_b=*" / "*.parquet"))
+    for f in files:
+        ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+        assert ts == sorted(ts)
+
+
 def test_restore_compensating_merge(spark, tmp_path):
     """restore(v) rolls user-visible state back to snapshot v as an
     ordinary change batch: changed keys upsert back to old values,
