@@ -304,6 +304,37 @@ def q_cdc_merge_table(spark, sf_dir):
     return _final_state(_replay_events_table(spark, sf_dir, "cow"))
 
 
+def q_table_restore(spark, sf_dir):
+    """Snapshot rollback driven end-to-end: replay all 3 epochs, then
+    restore(v1) — the compensating merge rolls user-visible state back
+    to the epoch-0 snapshot (changed keys upsert to old values, keys
+    created later tombstone) while staying change-feed-sound (see
+    LakeTable.restore). Oracle: latest-wins over ONLY epoch-0 events.
+    seq is excluded from the output by design: the restore is itself a
+    change event and stamps fresh seqs on compensated rows."""
+    def build():
+        tbl = _build_replay_events_table(spark, sf_dir, "cow", evolved=False)
+        tbl.restore(1)  # the version the epoch-0 merge committed
+        return tbl
+
+    tbl = _cached_fixture(spark, ("replay_restored", os.path.abspath(sf_dir)), build)
+    return tbl.read().select(
+        "user_id", "event_type", _r("value", 6).alias("value"), "props_sha256"
+    )
+
+
+_SQL_RESTORE = """
+WITH step AS (SELECT CAST(MAX(event_id) // 3 + 1 AS BIGINT) AS s FROM events)
+SELECT user_id, event_type,
+       FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
+       SHA256(props) AS props_sha256
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id < (SELECT s FROM step)
+) t WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def q_mor_read_equivalence(spark, sf_dir):
     """Merge-on-read path: same replay as cdc_merge_table but via
     O(batch) delta appends and NO compaction — the read-time resolve
@@ -2153,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "tfidf_top_terms": q_tfidf_top_terms,
         "group_quantiles": q_group_quantiles,
+        "table_restore": q_table_restore,
     }
 
 
@@ -2392,4 +2424,5 @@ FROM documents
         "dedup_components": _sql_dedup_components(),
         "tfidf_top_terms": _SQL_TFIDF,
         "group_quantiles": _SQL_QUANTILES,
+        "table_restore": _SQL_RESTORE,
     }
