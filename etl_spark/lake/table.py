@@ -1034,6 +1034,54 @@ class LakeTable:
               "committed_at": time.time()}
         return self._commit(m2)
 
+    def clone(self, dst_root: str, version: int | None = None) -> "LakeTable":
+        """Zero-copy shallow clone (Delta SHALLOW CLONE analog): the
+        snapshot's manifest is copied to ``dst_root`` with ABSOLUTE
+        data paths still pointing at the source's files — no data
+        moves, however large the table. Reads share storage; every
+        write into the clone lands under the clone's own root, so the
+        two tables diverge copy-on-write. Version numbering carries
+        over (the clone starts at the source's version, not 0) — the
+        ``_cv`` stamps in shared files stay consistent with version
+        arithmetic, so ``changes_since`` on the clone is sound across
+        the clone point.
+
+        The clone inherits the source's epoch fences: it genuinely
+        contains those epochs' data, so replaying the same WAL into
+        the clone skips already-applied batches exactly like the
+        source would — a cloned ingest pipeline resumes, not
+        re-applies.
+
+        Retention: the cloned version is automatically PINNED on the
+        source (pin name recorded in the clone's manifest under
+        ``cloned_from``) so the source's ``expire_versions`` cannot
+        reclaim files the clone still references. Dropping the clone
+        should ``unpin`` that name. The clone's own expire/maintenance
+        only ever sweeps dirs under the clone's root — it can never
+        touch source storage."""
+        v = self.current_version() if version is None else int(version)
+        if LakeTable.exists(dst_root):
+            raise ValueError(f"clone target already exists: {dst_root}")
+        m = dict(self.manifest(v))
+        pin_name = f"clone:{os.path.basename(os.path.abspath(dst_root))}"
+        self.pin(pin_name, v)
+
+        def _abs(buckets: dict) -> dict:
+            return {b: {**ent, "path": os.path.abspath(ent["path"])}
+                    for b, ent in buckets.items()}
+
+        m["buckets"] = _abs(m["buckets"])
+        m["deltas"] = [{**d, "buckets": _abs(d["buckets"])} for d in m.get("deltas", [])]
+        m["cloned_from"] = {
+            "root": os.path.abspath(self.root), "version": v, "pin": pin_name,
+        }
+        m["committed_at"] = time.time()
+        t = LakeTable(self.spark, dst_root)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        _atomic_write(os.path.join(t._meta_dir, f"v{v}.json"), json.dumps(m))
+        _atomic_write(os.path.join(t._meta_dir, "CURRENT"), str(v))
+        return t
+
     def restore(self, version: int, epoch=None) -> dict:
         """Roll the table back to snapshot ``version`` AS A CHANGE —
         a compensating merge, not a pointer flip. Delta-style

@@ -487,6 +487,58 @@ def test_sort_cols_cluster_within_bucket_files(spark, tmp_path):
         assert ts == sorted(ts)
 
 
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """clone() copies only metadata (no data dirs under the clone
+    root), reads identically, then diverges copy-on-write: a merge
+    into the clone never touches the source, and the source stays
+    protected from expiry by the auto-pin until unpinned."""
+    import glob
+
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "src"), _schema(), ["k"], n_buckets=2)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    v_clone = t.current_version()
+
+    c = t.clone(str(tmp_path / "dev"))
+    assert {r["k"]: r["v"] for r in c.read().collect()} == {"a": 1, "b": 2}
+    assert glob.glob(str(tmp_path / "dev" / "data" / "*")) == []  # zero-copy
+    assert t.pins() == {f"clone:dev": v_clone}
+
+    # the clone inherits the source's epoch fences: replaying an
+    # already-applied epoch skips (the clone HAS that data)
+    assert c.merge_cdc(_src(spark, [("z", 0, "insert", 9)]), epoch=0)["skipped"] is True
+    # copy-on-write divergence
+    c.merge_cdc(_src(spark, [("a", 99, "update", 10)]), epoch=77)
+    assert {r["k"]: r["v"] for r in c.read().collect()} == {"a": 99, "b": 2}
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 1, "b": 2}
+    assert glob.glob(str(tmp_path / "dev" / "data" / "*"))  # clone's own files now
+    # clone's change feed is sound across the clone point
+    feed = {r["k"]: r["_change_type"] for r in c.changes_since(v_clone).collect()}
+    assert feed == {"a": "upsert"}
+    # clone maintenance never touches source storage
+    c.expire_versions(keep_last=1, orphan_grace_sec=0.0)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 1, "b": 2}
+    assert {r["k"]: r["v"] for r in c.read().collect()} == {"a": 99, "b": 2}
+
+    # source churns on; the auto-pin holds the cloned version through expiry
+    for i in range(3):
+        t.merge_cdc(_src(spark, [("a", 10 + i, "update", 20 + i)]), epoch=i + 1)
+    t.expire_versions(keep_last=1)
+    assert {r["k"]: r["v"] for r in t.read(version=v_clone).collect()} == {"a": 1, "b": 2}
+    assert {r["k"]: r["v"] for r in c.read().collect()} == {"a": 99, "b": 2}
+    t.unpin("clone:dev")
+    t.expire_versions(keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        # the clone's 'a' bucket at the clone point pointed into source
+        # v1 files, now legitimately reclaimed — dropping a clone must
+        # unpin, and unpinning while the clone lives breaks it (as
+        # documented)
+        t.read(version=v_clone).collect()
+
+
 def test_restore_compensating_merge(spark, tmp_path):
     """restore(v) rolls user-visible state back to snapshot v as an
     ordinary change batch: changed keys upsert back to old values,
