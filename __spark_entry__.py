@@ -335,6 +335,23 @@ FROM (
 """
 
 
+def q_table_clone(spark, sf_dir):
+    """Zero-copy shallow clone driven end-to-end: clone the replayed
+    lake table (metadata-only; data paths point into the source) and
+    read the final state THROUGH THE CLONE — must equal the source's
+    state exactly (same oracle as cdc_merge_table)."""
+    def build():
+        import tempfile
+
+        src_tbl = _replay_events_table(spark, sf_dir, "cow")
+        return src_tbl.clone(
+            tempfile.mkdtemp(prefix="lakeclone_", dir=_scratch_dir()) + "/t"
+        )
+
+    tbl = _cached_fixture(spark, ("replay_clone", os.path.abspath(sf_dir)), build)
+    return _final_state(tbl)
+
+
 def q_mor_read_equivalence(spark, sf_dir):
     """Merge-on-read path: same replay as cdc_merge_table but via
     O(batch) delta appends and NO compaction — the read-time resolve
@@ -2185,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "group_quantiles": q_group_quantiles,
         "table_restore": q_table_restore,
+        "table_clone": q_table_clone,
     }
 
 
@@ -2425,4 +2443,5 @@ FROM documents
         "tfidf_top_terms": _SQL_TFIDF,
         "group_quantiles": _SQL_QUANTILES,
         "table_restore": _SQL_RESTORE,
+        "table_clone": _SQL_MERGE_FINAL,
     }

@@ -938,8 +938,11 @@ def test_multi_writer_process_race(spark, tmp_path, repos_schema):
         ~F.col("content").startswith(F.concat(F.lit("body-"), F.substring("repo", 2, 1)))
     ).count() == 0
     # loser orphan cleanup: expire everything but the tip, then every
-    # surviving parquet dir must be referenced by a live manifest
-    t.expire_versions(keep_last=1)
+    # surviving parquet dir must be referenced by a live manifest.
+    # Both writers have exited, so waiving the in-flight grace window
+    # is safe here (that window is what protects a LIVE writer's
+    # not-yet-committed dir; see test_expire_orphan_grace_*)
+    t.expire_versions(keep_last=1, orphan_grace_sec=0.0)
     live = {e["path"] for e in t.manifest()["buckets"].values()}
     for d in t.manifest().get("deltas", []):
         live |= {e["path"] for e in d["buckets"].values()}
