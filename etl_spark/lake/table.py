@@ -268,25 +268,57 @@ class LakeTable:
         # doubles as the bucketed-write placement (no second shuffle).
         return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(self.n_buckets))
 
+    def version_at(self, ts: float) -> int:
+        """TIMESTAMP AS OF: the newest version whose commit time is
+        <= ``ts`` (epoch seconds), resolved from retained manifests'
+        ``committed_at``. Raises if every retained manifest is newer
+        (the asked-for instant predates the retention horizon)."""
+        best = None
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    v = int(fn[1:-5])
+                except ValueError:
+                    continue
+                try:
+                    m = self.manifest(v)
+                except FileNotFoundError:
+                    continue
+                at = m.get("committed_at")
+                if at is not None and at <= ts and (best is None or v > best):
+                    best = v
+        if best is None:
+            raise ExpiredVersionError(
+                f"no retained version of {self.root} committed at or before "
+                f"ts={ts} (past the retention horizon, or before table creation)"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
         buckets: set[int] | None = None,
         include_tombstones: bool = False,
         tag: str | None = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
         """Snapshot read. Files written under older schema ids are read
         with their own schema, upcast by name, then unioned — missing
         columns become NULL, widened columns are cast up. Tombstone
         rows (retained deletes) are filtered unless asked for.
+        ``version`` / ``tag`` / ``as_of_ts`` (epoch seconds,
+        resolved via ``version_at``) are mutually exclusive ways to
+        pick the snapshot.
 
         In merge-on-read mode, delta files are unioned with the base
         and resolved (latest seq per key wins) at read time — the
         ingest-side cost COW pays per batch, moved to the read side."""
+        if sum(x is not None for x in (version, tag, as_of_ts)) > 1:
+            raise ValueError("pass at most one of version, tag, as_of_ts")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass version or tag, not both")
             version = self.resolve_tag(tag)
+        elif as_of_ts is not None:
+            version = self.version_at(as_of_ts)
         m = self.manifest(version)
         cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
         by_sid: dict[int, list[str]] = {}
@@ -1625,6 +1657,18 @@ class LakeCatalog:
         return sorted(
             d for d in os.listdir(self.root) if LakeTable.exists(os.path.join(self.root, d))
         )
+
+    def clone_catalog(self, dst_root: str) -> "LakeCatalog":
+        """Zero-copy dev catalog: shallow-clone every table into
+        ``dst_root`` (see LakeTable.clone — metadata-only, CoW
+        divergence, auto-pins on each source table). The unit a
+        staging environment actually wants: a whole catalog snapshot
+        to experiment against, costing one manifest copy per table
+        regardless of data size."""
+        dst = LakeCatalog(self.spark, dst_root)
+        for name in self.list_tables():
+            self.table(name).clone(os.path.join(dst_root, name))
+        return dst
 
     def info(self) -> DataFrame:
         """One row per table from the current manifests — the

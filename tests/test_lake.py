@@ -539,6 +539,50 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
         t.read(version=v_clone).collect()
 
 
+def test_version_at_timestamp_time_travel(spark, tmp_path):
+    """read(as_of_ts=) resolves the newest version committed at or
+    before the instant (TIMESTAMP AS OF); before-creation instants
+    raise, and expired history is honestly out of reach."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from etl_spark.lake.table import ExpiredVersionError, LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    stamps = []
+    for i in range(3):
+        t.merge_cdc(_src(spark, [("a", i, "update" if i else "insert", i + 1)]), epoch=i)
+        stamps.append(t.manifest()["committed_at"])
+        _time.sleep(0.05)
+    # an instant between commit 1 and commit 2 resolves to version 2's state
+    mid = (stamps[1] + stamps[2]) / 2
+    assert t.version_at(mid) == 2
+    assert t.read(as_of_ts=mid).first()["v"] == 1
+    assert t.read(as_of_ts=_time.time()).first()["v"] == 2
+    with _pytest.raises(ExpiredVersionError):
+        t.version_at(stamps[0] - 10_000)
+    with _pytest.raises(ValueError):
+        t.read(version=1, as_of_ts=mid)
+
+
+def test_clone_catalog(spark, tmp_path):
+    from etl_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "prod"))
+    for name, rows in [("users", [("u1", 1, "insert", 1)]),
+                       ("items", [("i1", 7, "insert", 1)])]:
+        t = cat.create_table(name, _schema(), ["k"], n_buckets=2)
+        t.merge_cdc(_src(spark, rows), epoch=0)
+    dev = cat.clone_catalog(str(tmp_path / "dev"))
+    assert dev.list_tables() == ["items", "users"]
+    assert dev.table("items").read().first()["v"] == 7
+    # divergence: write in dev, prod untouched
+    dev.table("users").merge_cdc(_src(spark, [("u1", 99, "update", 5)]), epoch=1)
+    assert dev.table("users").read().first()["v"] == 99
+    assert cat.table("users").read().first()["v"] == 1
+
+
 def test_restore_compensating_merge(spark, tmp_path):
     """restore(v) rolls user-visible state back to snapshot v as an
     ordinary change batch: changed keys upsert back to old values,
