@@ -76,6 +76,45 @@ class ExpiredVersionError(FileNotFoundError):
     consumer still needs (``LakeTable.pin``) to prevent this."""
 
 
+def _state_diff(target: DataFrame, cur: DataFrame, keys: list[str], user: list[str]) -> DataFrame:
+    """The compensating op-frame that turns ``cur``'s keyed state into
+    ``target``'s: an upsert (with target's values) for every key where
+    target differs or cur lacks the key, a delete for every key cur
+    has and target lacks. Both inputs must already be aligned to the
+    same ``user`` column list and types. Null-safe on keys AND values
+    (NULL == NULL, so an unchanged NULL field never forces a rewrite).
+    Used by restore() (target = old snapshot of self) and merge_from()
+    (target = another table's state — write-audit-publish)."""
+    import functools
+
+    o = target.withColumn("__o_live", F.lit(True)).alias("o")
+    c = cur.withColumn("__c_live", F.lit(True)).alias("c")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys],
+    )
+    j = o.join(c, cond, "full_outer")
+    nonkey = [cc for cc in user if cc not in keys]
+    same_vals = (
+        F.struct(*[F.col(f"o.{cc}") for cc in nonkey]).eqNullSafe(
+            F.struct(*[F.col(f"c.{cc}") for cc in nonkey]))
+        if nonkey else F.lit(True)
+    )
+    o_live = F.coalesce(F.col("o.__o_live"), F.lit(False))
+    c_live = F.coalesce(F.col("c.__c_live"), F.lit(False))
+    op = (
+        F.when(o_live & (~c_live | ~same_vals), F.lit("upsert"))
+        .when(~o_live & c_live, F.lit("delete"))
+    )
+    out_keys = [F.when(o_live, F.col(f"o.{k}")).otherwise(F.col(f"c.{k}")).alias(k)
+                for k in keys]
+    out_vals = [F.col(f"o.{cc}").alias(cc) for cc in nonkey]  # deletes carry NULLs
+    return (
+        j.select(*out_keys, *out_vals, op.alias("op"))
+        .filter(F.col("op").isNotNull())
+    )
+
+
 def _atomic_write(path: str, text: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -1134,8 +1173,6 @@ class LakeTable:
         rows. Reference analog: re-running an old snapshot's step to
         overwrite a bad publish (etl/command.py force path) — here as
         one keyed diff instead of a full rebuild."""
-        import functools
-
         m_cur = self.manifest()
         m_old = self.manifest(version)  # ExpiredVersionError past horizon
         if m_old["version"] == m_cur["version"]:
@@ -1157,34 +1194,9 @@ class LakeTable:
              else F.lit(None).cast(cur_types[c])).alias(c)
             for c in user
         ]
-        o = (self.read(version=m_old["version"], buckets=restrict)
-             .select(*align_old).withColumn("__o_live", F.lit(True)).alias("o"))
-        c = (self.read(buckets=restrict).select(*user)
-             .withColumn("__c_live", F.lit(True)).alias("c"))
-        cond = functools.reduce(
-            lambda a, b: a & b,
-            [F.col(f"o.{k}").eqNullSafe(F.col(f"c.{k}")) for k in keys],
-        )
-        j = o.join(c, cond, "full_outer")
-        nonkey = [cc for cc in user if cc not in keys]
-        same_vals = (
-            F.struct(*[F.col(f"o.{cc}") for cc in nonkey]).eqNullSafe(
-                F.struct(*[F.col(f"c.{cc}") for cc in nonkey]))
-            if nonkey else F.lit(True)
-        )
-        o_live = F.coalesce(F.col("o.__o_live"), F.lit(False))
-        c_live = F.coalesce(F.col("c.__c_live"), F.lit(False))
-        op = (
-            F.when(o_live & (~c_live | ~same_vals), F.lit("upsert"))
-            .when(~o_live & c_live, F.lit("delete"))
-        )
-        out_keys = [F.when(o_live, F.col(f"o.{k}")).otherwise(F.col(f"c.{k}")).alias(k)
-                    for k in keys]
-        out_vals = [F.col(f"o.{cc}").alias(cc) for cc in nonkey]  # deletes carry NULLs
-        diff = (
-            j.select(*out_keys, *out_vals, op.alias("op"))
-            .filter(F.col("op").isNotNull())
-        )
+        o_df = self.read(version=m_old["version"], buckets=restrict).select(*align_old)
+        c_df = self.read(buckets=restrict).select(*user)
+        diff = _state_diff(o_df, c_df, keys, user)
         cur_max = m_cur.get("max_seq")
         if cur_max is None and (m_cur["buckets"] or m_cur.get("deltas")):
             cur_max = (
@@ -1194,6 +1206,84 @@ class LakeTable:
         return self.merge_cdc(
             diff, epoch=epoch,
             extra_manifest={"restored_from": int(m_old["version"])},
+        )
+
+    def merge_from(self, other: "LakeTable", epoch=None) -> dict:
+        """Write-audit-publish: make this table's user-visible state
+        equal ``other``'s, as ONE keyed diff merge. The WAP workflow
+        this enables: ``clone()`` prod -> merge the candidate batch
+        into the clone -> audit the clone (uniqueness, domains, row
+        counts, frame_diff) -> ``prod.merge_from(clone)`` publishes
+        exactly the audited state atomically. Because the publish is
+        an ordinary change batch (fresh seq/_cv stamps), prod's change
+        feed, epoch fences and downstream incremental syncs all stay
+        sound — unlike an Iceberg branch fast-forward, consumers need
+        no special handling.
+
+        Cost is O(differing buckets) when both tables share a bucket
+        layout: buckets whose base-file pointers are IDENTICAL (the
+        clone's untouched buckets literally point at prod's files) are
+        pruned by manifest compare alone; cross-table ``max_cv`` is
+        never used (independent commit counters after divergence make
+        it meaningless). Schema: the union of both tables' user
+        columns, with the source's types for shared names — source-side
+        adds/widens evolve this table transactionally with the merge;
+        columns only this table has are NULLed on rows the publish
+        touches."""
+        m_cur = self.manifest()
+        m_src = other.manifest()
+        if m_src["key_cols"] != m_cur["key_cols"]:
+            raise ValueError(
+                f"merge_from requires identical key_cols: "
+                f"{m_cur['key_cols']} vs {m_src['key_cols']}"
+            )
+        restrict = None
+        if m_cur["n_buckets"] == m_src["n_buckets"]:
+            base_cur = {b: e["path"] for b, e in m_cur["buckets"].items()}
+            base_src = {b: e["path"] for b, e in m_src["buckets"].items()}
+            changed = {
+                int(b) for b in set(base_cur) | set(base_src)
+                if base_cur.get(b) != base_src.get(b)
+            }
+            for m in (m_cur, m_src):
+                for d in m.get("deltas", []):
+                    changed |= {int(b) for b in d["buckets"]}
+            if not changed:
+                return {"version": m_cur["version"], "skipped": True, "rows_written": 0}
+            restrict = changed
+        keys = m_cur["key_cols"]
+        src_fields = other._user_fields(m_src)
+        cur_fields = self._user_fields(m_cur)
+        src_names = {f.name for f in src_fields}
+        cur_names = {f.name for f in cur_fields}
+        user_fields = list(src_fields) + [f for f in cur_fields if f.name not in src_names]
+        user = [f.name for f in user_fields]
+        types = {f.name: f.dataType for f in user_fields}
+
+        def _align(present: set) -> list:
+            return [
+                (F.col(c).cast(types[c]) if c in present
+                 else F.lit(None).cast(types[c])).alias(c)
+                for c in user
+            ]
+
+        o_df = other.read(buckets=restrict).select(*_align(src_names))
+        c_df = self.read(buckets=restrict).select(*_align(cur_names))
+        diff = _state_diff(o_df, c_df, keys, user)
+        if diff.isEmpty():
+            return {"version": m_cur["version"], "skipped": True, "rows_written": 0}
+        cur_max = m_cur.get("max_seq")
+        if cur_max is None and (m_cur["buckets"] or m_cur.get("deltas")):
+            cur_max = (
+                self.read(include_tombstones=True).agg(F.max(self.seq_col)).first()[0]
+            )
+        diff = diff.withColumn("seq", F.lit((cur_max or 0) + 1).cast("long"))
+        return self.merge_cdc(
+            diff, epoch=epoch,
+            extra_manifest={"merged_from": {
+                "root": os.path.abspath(other.root),
+                "version": int(m_src["version"]),
+            }},
         )
 
     # ---------- changelog / incremental read ----------

@@ -583,6 +583,62 @@ def test_clone_catalog(spark, tmp_path):
     assert cat.table("users").read().first()["v"] == 1
 
 
+def test_write_audit_publish_via_clone_and_merge_from(spark, tmp_path):
+    """The WAP workflow end-to-end: clone prod, merge a candidate
+    batch into the clone, audit it, publish with merge_from — prod's
+    state becomes exactly the audited state, downstream syncs converge
+    through the ordinary change feed, and republishing is a no-op."""
+    from etl_spark.lake.incremental import sync
+    from etl_spark.lake.table import LakeTable
+
+    prod = LakeTable.create(spark, str(tmp_path / "prod"), _schema(), ["k"], n_buckets=4)
+    prod.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2),
+                                ("c", 3, "insert", 3)]), epoch=0)
+    mirror = LakeTable.create(spark, str(tmp_path / "mir"), _schema(), ["k"], n_buckets=4)
+    sync(prod, mirror)
+    v_pre = prod.current_version()
+
+    stage = prod.clone(str(tmp_path / "stage"))
+    # candidate batch: update a, delete b, create d
+    stage.merge_cdc(_src(spark, [("a", 10, "update", 4), ("b", 0, "delete", 5),
+                                 ("d", 40, "insert", 6)]), epoch=1)
+    audited = {r["k"]: r["v"] for r in stage.read().collect()}
+    assert audited == {"a": 10, "c": 3, "d": 40}  # the audit
+
+    res = prod.merge_from(stage)
+    assert res["skipped"] is False
+    assert {r["k"]: r["v"] for r in prod.read().collect()} == audited
+    assert prod.manifest()["merged_from"]["version"] == stage.current_version()
+    # the publish IS a change batch: feed shows exactly the touched keys
+    kinds = {r["k"]: r["_change_type"] for r in prod.changes_since(v_pre).collect()}
+    assert kinds == {"a": "upsert", "b": "delete", "d": "upsert"}
+    # downstream converges with no special handling
+    sync(prod, mirror)
+    assert {r["k"]: r["v"] for r in mirror.read().collect()} == audited
+    # republishing the same state is a no-op (pointer compare or empty diff)
+    res2 = prod.merge_from(stage)
+    assert res2["skipped"] is True
+
+
+def test_merge_from_evolves_schema_from_source(spark, tmp_path):
+    """A staged table that added a column publishes it: merge_from
+    evolves the target transactionally with the diff batch."""
+    from etl_spark.lake.table import LakeTable
+
+    prod = LakeTable.create(spark, str(tmp_path / "p"), _schema(), ["k"], n_buckets=2)
+    prod.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    stage = prod.clone(str(tmp_path / "s"))
+    stage.merge_cdc(
+        _src(spark, [("a", 2, 5, "update", 2)],
+             extra_fields=(T.StructField("w", T.IntegerType(), True),)),
+        epoch=1,
+    )
+    prod.merge_from(stage)
+    row = prod.read().first()
+    assert row["v"] == 2 and row["w"] == 5
+    assert "w" in [f.name for f in prod.schema().fields]
+
+
 def test_restore_compensating_merge(spark, tmp_path):
     """restore(v) rolls user-visible state back to snapshot v as an
     ordinary change batch: changed keys upsert back to old values,
