@@ -352,6 +352,63 @@ def q_table_clone(spark, sf_dir):
     return _final_state(tbl)
 
 
+def q_table_publish(spark, sf_dir):
+    """Write-audit-publish driven end-to-end: epochs 0-1 replay into
+    prod, the table is shallow-cloned, epoch 2 lands in the clone (the
+    audit stage), and merge_from publishes the audited state back as
+    one keyed diff merge. Final state must equal a straight replay of
+    ALL events — same oracle as cdc_merge_table minus the seq column
+    (published rows carry fresh seq stamps by design)."""
+    def build():
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_spark.lake.table import LakeTable
+
+        ev = _t(spark, sf_dir, "events")
+        schema = T.StructType([
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+            T.StructField("props_sha256", T.StringType(), True),
+        ])
+        root = tempfile.mkdtemp(prefix="lakewap_", dir=_scratch_dir())
+        tbl = LakeTable.create(
+            spark, root + "/prod", schema, ["user_id"], seq_col="last_seq",
+            n_buckets=8, derived={"props_sha256": ("sha256", "props")},
+        )
+        src = _events_as_cdc(ev)
+        mx = int(ev.agg(F.max("event_id")).first()[0] or 0)
+        step = mx // 3 + 1
+        for i in range(2):
+            tbl.merge_cdc(
+                src.filter((F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step)),
+                epoch=i,
+            )
+        stage = tbl.clone(root + "/stage")
+        stage.merge_cdc(src.filter(F.col("seq") >= 2 * step), epoch=2)
+        tbl.merge_from(stage)
+        return tbl
+
+    tbl = _cached_fixture(spark, ("replay_publish", os.path.abspath(sf_dir)), build)
+    return tbl.read().select(
+        "user_id", "event_type", _r("value", 6).alias("value"), "props_sha256"
+    )
+
+
+_SQL_PUBLISH = """
+SELECT user_id, event_type,
+       FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
+       SHA256(props) AS props_sha256
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def q_mor_read_equivalence(spark, sf_dir):
     """Merge-on-read path: same replay as cdc_merge_table but via
     O(batch) delta appends and NO compaction — the read-time resolve
@@ -2203,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "table_restore": q_table_restore,
         "table_clone": q_table_clone,
+        "table_publish": q_table_publish,
     }
 
 
@@ -2444,4 +2502,5 @@ FROM documents
         "group_quantiles": _SQL_QUANTILES,
         "table_restore": _SQL_RESTORE,
         "table_clone": _SQL_MERGE_FINAL,
+        "table_publish": _SQL_PUBLISH,
     }
