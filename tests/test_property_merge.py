@@ -139,3 +139,57 @@ def test_lifecycle_ops_never_change_state(spark, tmp_path_factory, plan, mor):
     expect = pandas_oracle(rows)
     got = {r["path"]: r[content_col] for r in t.read().collect()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# publish/restore property: for ANY pair of divergent states reachable
+# from a shared base (prod keeps merging, a clone takes a different
+# batch), merge_from(clone) must land prod EXACTLY on the clone's
+# pandas-oracle state — whatever keys were changed, deleted, created
+# or left alone on either side.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(base=streams, cur_extra=streams, target_extra=streams)
+def test_merge_from_reaches_any_target_state(
+    spark, tmp_path_factory, base, cur_extra, target_extra
+):
+    def rows_of(stream, seq0):
+        return [
+            (path, op, None if op == "delete" else f"c:{seed}:{seq0 + i}", seq0 + i)
+            for i, (path, op, seed) in enumerate(stream)
+        ]
+
+    def merge(tbl, chunk, epoch):
+        tbl.merge_cdc(
+            spark.createDataFrame(
+                [("r", p, c, o, s) for (p, o, c, s) in chunk],
+                "repo string, path string, content string, op string, seq long",
+            ),
+            epoch=epoch,
+        )
+
+    root = tmp_path_factory.mktemp("wapprop")
+    t = LakeTable.create(
+        spark, str(root / "prod"),
+        spark.createDataFrame([], "repo string, path string, content string").schema,
+        ["repo", "path"], n_buckets=2,
+    )
+    b_rows = rows_of(base, 0)
+    merge(t, b_rows, epoch=0)
+    stage = t.clone(str(root / "stage"))
+    merge(t, rows_of(cur_extra, len(b_rows)), epoch=1)
+    tgt_rows = rows_of(target_extra, len(b_rows))
+    merge(stage, tgt_rows, epoch=2)
+
+    t.merge_from(stage)
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got == pandas_oracle(b_rows + tgt_rows)
+    # republish is a no-op
+    assert t.merge_from(stage)["skipped"] is True
