@@ -282,6 +282,35 @@ def main() -> int:
         failures.append("tfidf: scan not pruned")
     sections.append(("TF-IDF: WindowGroupLimit top-k, pruned scan", p13, checks13))
 
+    # 14. restore/merge_from compensating diff: the null-safe keyed
+    # full-outer compare must plan as a SortMergeJoin with the key
+    # folded into the join keys (no residual condition, no nested
+    # loop) — the property that keeps rollback/publish O(changed
+    # buckets) shuffle-bound at any scale
+    from etl_spark.lake.table import _state_diff
+
+    m_cur8 = t8.manifest()
+    user8 = [f.name for f in t8._user_fields(m_cur8)]
+    o14 = t8.read(version=1).select(*user8)
+    c14 = t8.read().select(*user8)
+    p14 = plan_of(_state_diff(o14, c14, ["k"], user8))
+    checks14 = []
+    if "SortMergeJoin FullOuter" in p14 or re.search(r"SortMergeJoin.*FullOuter", p14):
+        checks14.append("OK full-outer diff is a SortMergeJoin")
+    else:
+        failures.append("state_diff: full outer not SMJ")
+    if "NestedLoop" not in p14 and "CartesianProduct" not in p14:
+        checks14.append("OK no nested-loop/cartesian (eqNullSafe folded into join keys)")
+    else:
+        failures.append("state_diff: nested-loop/cartesian join in plan")
+    if "Join condition: None" in p14:
+        checks14.append("OK fully equi (no residual join condition)")
+    else:
+        failures.append("state_diff: residual join condition present")
+    sections.append(
+        ("Restore/publish diff: null-safe keys fold into a full-outer SMJ", p14, checks14)
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
