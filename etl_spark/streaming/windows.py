@@ -45,6 +45,33 @@ def windowed_event_counts(
     )
 
 
+def dedup_deliveries(
+    events: DataFrame,
+    keys: list[str] | tuple = ("seq",),
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Drop duplicate DELIVERIES of the same event identity on the
+    stream side (at-least-once transport -> effectively-once input),
+    with state bounded by the watermark: Spark's
+    ``dropDuplicatesWithinWatermark`` keeps only identities whose
+    event time is within ``delay`` of the watermark, so state is
+    O(events per delay window) — a plain streaming ``dropDuplicates``
+    grows state forever. A redelivery is by definition the same event
+    (same event time), so any honest transport-retry window fits.
+
+    The engine does NOT need this for correctness — merge apply is
+    content-idempotent and epoch-fenced (exactly-once effect) — but it
+    cuts duplicate volume BEFORE expensive stages (checksums, the
+    merge shuffle) and protects non-idempotent downstream sinks. Batch
+    frames fall back to plain ``dropDuplicates`` (identical semantics
+    at rest — handy for oracle tests)."""
+    cols = list(keys)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(cols)
+    return events.dropDuplicates(cols)
+
+
 def run_windowed_rollup(
     spark,
     wal_dir: str,

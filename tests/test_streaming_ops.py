@@ -115,3 +115,40 @@ def test_repo_stats_resume_across_restarts(spark, wal, tmp_path):
     )
     total = int(got["events_seen"].sum())
     assert total == N
+
+
+def test_dedup_deliveries_drops_stream_side_duplicates(spark, wal, tmp_path):
+    """Every WAL file is delivered TWICE (transport retry); the
+    watermarked stream-side dedup must emit each event identity once —
+    matching the batch distinct — with state bounded by the watermark
+    instead of the whole stream."""
+    import shutil
+
+    from etl_spark.streaming.windows import dedup_deliveries
+
+    dup_wal = str(tmp_path / "dupwal")
+    shutil.copytree(wal, dup_wal)
+    for f in glob.glob(f"{dup_wal}/*.parquet"):
+        shutil.copy(f, f"{dup_wal}/redelivered-{f.rsplit('/', 1)[1]}")
+
+    from etl_spark.sources.wal import stream_event_log
+
+    src = stream_event_log(spark, dup_wal, schema=EVENT_SCHEMA)
+    out = str(tmp_path / "out")
+    q = (
+        dedup_deliveries(src, keys=["seq"], delay="1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    raw = read_event_log(spark, dup_wal, schema=EVENT_SCHEMA)
+    assert raw.count() == 2 * N           # duplicates really delivered
+    assert got.count() == N               # each identity exactly once
+    assert got.select("seq").distinct().count() == N
+    # batch fallback has identical semantics
+    assert dedup_deliveries(raw, keys=["seq"]).count() == N
