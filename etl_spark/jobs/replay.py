@@ -39,8 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wal", help="WAL directory (ordered parquet; stream/batch modes)")
     p.add_argument("--table", required=True, help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (stream mode)")
-    p.add_argument("--mode", choices=["stream", "batch", "backport"], default="stream")
+    p.add_argument("--mode", choices=["stream", "batch", "backport", "diff"],
+                   default="stream")
     p.add_argument("--out", help="backport mode: directory for the emitted event frame")
+    p.add_argument("--against",
+                   help="diff mode: second lake-catalog root to compare --table "
+                        "(as a catalog root) against")
+    p.add_argument("--rtol", type=float, default=1e-8,
+                   help="diff mode: relative tolerance for numeric compare")
     p.add_argument("--continuous", action="store_true",
                    help="stream mode: tail forever instead of drain-and-stop")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -212,6 +218,30 @@ def main(argv=None) -> int:
             "seconds": round(time.time() - t0, 2),
         }))
         return 0
+
+    if args.mode == "diff":
+        # the reference's `etl diff` CLI (etl/datadiff.py): walk two
+        # catalogs, print machine-readable results, exit nonzero when
+        # the catalogs differ (orchestration-friendly gate)
+        from etl_spark.lake.table import LakeCatalog
+        from etl_spark.ops.diff import diff_catalogs
+
+        if not args.against:
+            print("--against is required in diff mode", file=sys.stderr)
+            return 2
+        t0 = time.time()
+        result = diff_catalogs(
+            LakeCatalog(spark, args.table), LakeCatalog(spark, args.against),
+            rtol=args.rtol, atol=args.rtol,
+        ).collect()
+        tables = [r.asDict() for r in result]
+        n_diff = sum(1 for r in tables if r["status"] != "equal")
+        print(json.dumps({
+            "mode": "diff", "catalog_a": args.table, "catalog_b": args.against,
+            "n_tables": len(tables), "n_differing": n_diff, "tables": tables,
+            "seconds": round(time.time() - t0, 2),
+        }))
+        return 1 if n_diff else 0
 
     if not args.wal:
         print("--wal is required in stream/batch modes", file=sys.stderr)

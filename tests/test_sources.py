@@ -247,3 +247,42 @@ def test_snapshot_pull_file_url(spark, tmp_path):
         Snapshot.pull(src.as_uri(), str(tmp_path / "local" / "other.csv"), md5)
     assert not (tmp_path / "local" / "other.csv").exists()
     assert snap.read(spark).count() == 2
+
+
+def test_replay_job_diff_mode(spark, tmp_path):
+    """--mode diff walks two catalog roots (the reference's `etl diff`
+    CLI): exit 0 on equal catalogs, exit 1 with machine-readable table
+    rows when they differ."""
+    import json as _json
+
+    from etl_spark.cdc.generator import write_event_log
+    from etl_spark.jobs.replay import main
+    from etl_spark.lake.table import LakeCatalog
+
+    wal = str(tmp_path / "wal")
+    write_event_log(spark, wal, 2000, files=2)
+    cat_a, cat_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for root in (cat_a, cat_b):
+        assert main(["--wal", wal, "--table", f"{root}/repos",
+                     "--mode", "batch", "--n-buckets", "4"]) == 0
+    # identical catalogs -> exit 0
+    assert main(["--table", cat_a, "--against", cat_b, "--mode", "diff"]) == 0
+    # diverge b, capture the report (exit 1)
+    t = LakeCatalog(spark, cat_b).table("repos")
+    src = spark.createDataFrame(
+        [("org0/repo0", "zz/new.rs", "c", "rust", "fn x(){}", None, "insert", 10**9)],
+        "repo string, path string, commit string, lang string, content string, "
+        "content_sha256 string, op string, seq long",
+    )
+    t.merge_cdc(src, epoch=999)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--table", cat_a, "--against", cat_b, "--mode", "diff"])
+    assert rc == 1
+    report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["n_differing"] == 1
+    assert report["tables"][0]["table"] == "repos"
+    assert report["tables"][0]["status"] == "data_changed"
