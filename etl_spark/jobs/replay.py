@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(as a catalog root) against")
     p.add_argument("--rtol", type=float, default=1e-8,
                    help="diff mode: relative tolerance for numeric compare")
+    p.add_argument("--atol", type=float, default=1e-8,
+                   help="diff mode: absolute tolerance for numeric compare")
     p.add_argument("--continuous", action="store_true",
                    help="stream mode: tail forever instead of drain-and-stop")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -232,7 +234,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         result = diff_catalogs(
             LakeCatalog(spark, args.table), LakeCatalog(spark, args.against),
-            rtol=args.rtol, atol=args.rtol,
+            rtol=args.rtol, atol=args.atol,
         ).collect()
         tables = [r.asDict() for r in result]
         n_diff = sum(1 for r in tables if r["status"] != "equal")

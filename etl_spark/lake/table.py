@@ -1134,7 +1134,18 @@ class LakeTable:
         if LakeTable.exists(dst_root):
             raise ValueError(f"clone target already exists: {dst_root}")
         m = dict(self.manifest(v))
-        pin_name = f"clone:{os.path.basename(os.path.abspath(dst_root))}"
+        # pin name carries a hash of the clone's ABSOLUTE root (same
+        # scheme as incremental._consumer_pin): two clones whose dst
+        # roots share a basename (mkdtemp()+'/t' patterns) must hold
+        # two independent pins, or the second clone re-points the
+        # first's and source expiry reclaims files it still reads
+        import hashlib
+
+        dst_abs = os.path.abspath(dst_root)
+        pin_name = (
+            f"clone:{os.path.basename(dst_abs)}:"
+            f"{hashlib.sha256(dst_abs.encode()).hexdigest()[:10]}"
+        )
         self.pin(pin_name, v)
 
         def _abs(buckets: dict) -> dict:
@@ -1318,6 +1329,22 @@ class LakeTable:
                 changed.add(int(b))
         return changed
 
+    def _base_manifest(self, v_from: int, m_to: dict) -> dict:
+        """Resolve the FROM manifest of a change-feed read. ``v_from==0``
+        is synthesized as the empty base every table starts from
+        (``create`` commits v0 with no buckets) instead of being read
+        from disk — so the documented bootstrap path, and ``sync()``
+        attaching a brand-new consumer (defaults to v_from=0), keep
+        working after ``expire_versions`` removed v0's manifest file,
+        and work on CLONES, whose version numbering starts at the
+        clone point (v0 never existed). Every commit stamps ``_cv >=
+        1``, so against the empty base every live row is a change —
+        exactly the full-table bootstrap contract."""
+        if int(v_from) == 0:
+            return {"version": 0, "buckets": {}, "deltas": [],
+                    "n_buckets": m_to["n_buckets"], "key_cols": m_to["key_cols"]}
+        return self.manifest(v_from)
+
     def changes_since(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change feed between two snapshots — the Delta-CDF / Iceberg
         changelog analog, and the edge that lets lake tables chain into
@@ -1349,7 +1376,7 @@ class LakeTable:
         # deletes expired manifests, so a consumer that lagged beyond
         # retention fails FAST here (not later at scan time) and must
         # bootstrap from changes_since(0)
-        m_from = self.manifest(v_from)
+        m_from = self._base_manifest(v_from, m_to)
         changed = self._changed_buckets(m_from, m_to)
         user = self._user_fields(m_to)
         seq = m_to["seq_col"]
@@ -1388,10 +1415,21 @@ class LakeTable:
         i.e. the input contract of incremental aggregate maintenance
         (etl_spark.lake.incremental.sync_agg)."""
         m_to = self.manifest(v_to)
-        m_from = self.manifest(v_from)
+        m_from = self._base_manifest(v_from, m_to)
         changed = self._changed_buckets(m_from, m_to)
         keys = m_to["key_cols"]
         new = self.changes_since(v_from, v_to)
+        if int(v_from) == 0:
+            # nothing was live at the empty base: every upsert is an
+            # insert, every delete is a re-delete (suppressed), every
+            # preimage is NULL — no old-snapshot read, no join
+            types = {f.name: f.dataType for f in self._user_fields(m_to)}
+            out = new.filter(F.col("_change_type") == "upsert").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            for c in preimage_cols or []:
+                out = out.withColumn(f"_pre_{c}", F.lit(None).cast(types[c]))
+            return out
         old_buckets = changed if m_from["n_buckets"] == m_to["n_buckets"] else None
         pre = preimage_cols or []
         old_live = self.read(version=v_from, buckets=old_buckets).select(
@@ -1690,6 +1728,13 @@ class LakeTable:
                 except FileNotFoundError:
                     continue
                 _dirs_of(m, referenced)
+                if v > cur:
+                    # a writer committed v(cur+1) AFTER our CURRENT read
+                    # — under optimistic concurrency that commit is (or
+                    # is about to become) live; treating it as expired
+                    # would delete a just-committed version with zero
+                    # grace. Newer-than-cur versions are always retained.
+                    keep_vs.add(v)
                 if v in keep_vs:
                     _dirs_of(m, live)
         now = time.time()
@@ -1717,7 +1762,7 @@ class LakeTable:
                     v = int(fn[1:-5])
                 except ValueError:
                     continue
-                if v not in keep_vs:
+                if v not in keep_vs and v <= cur:  # > cur: committed after our CURRENT read
                     try:
                         os.remove(os.path.join(self._meta_dir, fn))
                     except FileNotFoundError:

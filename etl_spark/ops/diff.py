@@ -77,11 +77,17 @@ def diff_catalogs(cat_a, cat_b, rtol: float = 1e-8, atol: float = 1e-8) -> DataF
 
     Returns one row per table name present in either catalog:
     ``status`` in {added, removed, equal, schema_changed, data_changed},
-    schema deltas (cols_added / cols_removed / cols_changed), and row
-    counts. The walk is a driver loop bounded by the catalog size (the
-    reference does the same); per-table comparison is the distributed
-    ``frame_diff`` pass, short-circuited by the cheap version/manifest
-    check first — two untouched tables never scan data."""
+    schema deltas (cols_added / cols_removed / cols_changed), row
+    counts, and ``col_row_diffs`` — per changed column, how many rows
+    differ in it (the reference's per-column change detail,
+    etl/datadiff.py:29-150). The walk is a driver loop bounded by the
+    catalog size (the reference does the same); per-table comparison is
+    the distributed ``frame_diff`` pass, short-circuited by the cheap
+    manifest check first — two tables whose base/delta file pointers
+    and schema are identical (untouched tables, fresh clones) are
+    'equal' with zero data scanned."""
+    import os
+
     names = sorted(set(cat_a.list_tables()) | set(cat_b.list_tables()))
     rows = []
     empty: list[str] = []
@@ -91,16 +97,31 @@ def diff_catalogs(cat_a, cat_b, rtol: float = 1e-8, atol: float = 1e-8) -> DataF
         internal = {m["seq_col"], "_deleted", "_cv"}
         return {f for f in t.schema().names if f not in internal}
 
+    def _pointers(m: dict) -> tuple:
+        """The physical state identity of a snapshot: every base and
+        delta file pointer, absolute-normalized (clones store absolute
+        paths into the source's storage). Equal pointers + equal
+        schema => byte-identical user-visible state."""
+        base = tuple(sorted(
+            (int(b), os.path.abspath(ent["path"])) for b, ent in m["buckets"].items()
+        ))
+        deltas = tuple(
+            tuple(sorted((int(b), os.path.abspath(ent["path"]))
+                         for b, ent in d["buckets"].items()))
+            for d in m.get("deltas", [])
+        )
+        return base, deltas
+
     for name in names:
         in_a, in_b = cat_a.exists(name), cat_b.exists(name)
         if not in_b:
             rows.append((name, "removed", empty, empty, empty,
-                         int(cat_a.table(name).row_count()), None, None))
+                         int(cat_a.table(name).row_count()), None, None, {}))
             continue
         if not in_a:
             t = cat_b.table(name)
             rows.append((name, "added", sorted(_user_cols(t)), empty, empty,
-                         None, int(t.row_count()), None))
+                         None, int(t.row_count()), None, {}))
             continue
         ta, tb = cat_a.table(name), cat_b.table(name)
         ma, mb = ta.manifest(), tb.manifest()
@@ -110,28 +131,40 @@ def diff_catalogs(cat_a, cat_b, rtol: float = 1e-8, atol: float = 1e-8) -> DataF
         cols_removed = sorted(ca - cb)
         keys = list(ma["key_cols"])
         cols_changed = empty
+        col_row_diffs: dict[str, int] = {}
         if cols_added or cols_removed or list(mb["key_cols"]) != keys:
             status = "schema_changed"
             n_diff = None
+        elif (ta.schema() == tb.schema() and _pointers(ma) == _pointers(mb)):
+            # manifest short-circuit: identical file pointers => equal
+            status = "equal"
+            n_diff = 0
         else:
+            shared = sorted((ca & cb) - set(keys))
             diff = frame_diff(ta.read(), tb.read(), keys, rtol=rtol, atol=atol)
-            # one distributed pass: row-diff count + the distinct set of
-            # changed column names (bounded by the schema width)
+            # one distributed pass: row-diff count + per-column changed
+            # row counts (width-bounded conditional sums, no explode)
             agg = diff.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.array_sort(
-                    F.array_distinct(F.flatten(F.collect_list("changed_cols")))
-                ).alias("cols"),
+                *[
+                    F.sum(F.array_contains(F.col("changed_cols"), F.lit(c)).cast("long"))
+                    .alias(f"__n_{c}")
+                    for c in shared
+                ],
             ).first()
             n_diff = int(agg["n"])
             status = "data_changed" if n_diff else "equal"
-            cols_changed = list(agg["cols"] or [])
+            col_row_diffs = {
+                c: int(agg[f"__n_{c}"]) for c in shared if agg[f"__n_{c}"]
+            }
+            cols_changed = sorted(col_row_diffs)
         rows.append((name, status, cols_added, cols_removed, cols_changed,
-                     rows_a, rows_b, n_diff))
+                     rows_a, rows_b, n_diff, col_row_diffs))
     schema = (
         "table string, status string, cols_added array<string>, "
         "cols_removed array<string>, cols_changed array<string>, "
-        "rows_a long, rows_b long, n_row_diffs long"
+        "rows_a long, rows_b long, n_row_diffs long, "
+        "col_row_diffs map<string,long>"
     )
     return cat_a.spark.createDataFrame(rows, schema)
 

@@ -206,6 +206,13 @@ def asof_join(
     ``right`` must be unique per (by, right_ts) — pre-aggregate ties
     (e.g. max per key+ts) or the carried value is partition-order
     dependent.
+
+    The carry is ONE nullable struct per right row (NULL on left rows,
+    never NULL on right rows), so a matched right row whose value
+    column is genuinely NULL is carried as that row's NULL — pandas
+    merge_asof / DuckDB ASOF semantics — instead of ignorenulls
+    skipping back to an older row's non-null value (which would also
+    desynchronize ts_out from the value columns).
     """
     by = list(by)
     vals = list(value_cols)
@@ -213,20 +220,25 @@ def asof_join(
     r = right.select(
         *by,
         F.col(right_ts).alias("__ts"),
-        F.col(right_ts).alias(ts_out),
-        *[F.col(c).alias(c + suffix) for c in vals],
+        F.struct(
+            F.col(right_ts).alias(ts_out),
+            *[F.col(c).alias(c + suffix) for c in vals],
+        ).alias("__r"),
         F.lit(0).alias("__side"),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    u = l.unionByName(r, allowMissingColumns=True)
+    u = l.unionByName(r, allowMissingColumns=True)  # __r is NULL on left rows
     w = (
         Window.partitionBy(*by)
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in [ts_out] + [c + suffix for c in vals]:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__ts", "__side")
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    carried = [ts_out] + [c + suffix for c in vals]
+    return (
+        u.filter(F.col("__side") == 1)
+        .select(*left.columns, *[F.col(f"__r.{c}").alias(c) for c in carried])
+    )
 
 
 # ---------------------------------------------------------------------------

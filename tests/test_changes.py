@@ -635,3 +635,42 @@ def test_changes_since_across_schema_evolution(spark, tmp_path):
     sync(t, dst)
     assert "w" in dst.read().columns  # evolution flowed downstream
     assert {r["k"]: r["w"] for r in dst.read().collect()} == {"a": "W", "b": None}
+
+
+def test_changes_since_zero_survives_expiry(spark, tmp_path):
+    """ADVICE r3 (high): the documented bootstrap path must WORK after
+    expire_versions removed v0's manifest — changes_since(0) and a
+    brand-new consumer's sync() (defaults v_from=0) synthesize the
+    empty base instead of reading v0 from disk."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    t.merge_cdc(_src(spark, [("a", 10, "update", 3), ("c", 3, "insert", 4)]), epoch=1)
+    t.merge_cdc(_src(spark, [("b", None, "delete", 5)]), epoch=2)
+    t.expire_versions(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        t.manifest(0)  # v0's manifest really is gone
+    got = _changes_dict(t.changes_since(0))
+    assert got == {"a": (10, "upsert"), "b": (None, "delete"), "c": (3, "upsert")}
+    # classified feed from 0: inserts only, deletes suppressed, preimages NULL
+    ch = {r["k"]: (r["_change_type"], r["_pre_v"]) for r in
+          t.changes(0, preimage_cols=["v"]).collect()}
+    assert ch == {"a": ("insert", None), "c": ("insert", None)}
+    # and a brand-new downstream attaches cleanly post-expiry
+    dst = LakeTable.create(spark, str(tmp_path / "d"), _schema(), ["k"], n_buckets=2)
+    st = sync(t, dst)
+    assert st["skipped"] is False
+    assert frames_equal(dst.read(), t.read(), keys=["k"])
+
+
+def test_changes_since_zero_on_clone(spark, tmp_path):
+    """A clone's version numbering starts at the clone point — v0
+    never existed — yet changes_since(0) must still mean 'bootstrap
+    the full state' so incremental consumers can attach to clones."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    c = t.clone(str(tmp_path / "dev"))
+    got = _changes_dict(c.changes_since(0))
+    assert got == {"a": (1, "upsert"), "b": (2, "upsert")}
+    dst = LakeTable.create(spark, str(tmp_path / "d"), _schema(), ["k"], n_buckets=2)
+    sync(c, dst)
+    assert frames_equal(dst.read(), c.read(), keys=["k"])

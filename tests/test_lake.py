@@ -503,7 +503,9 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     c = t.clone(str(tmp_path / "dev"))
     assert {r["k"]: r["v"] for r in c.read().collect()} == {"a": 1, "b": 2}
     assert glob.glob(str(tmp_path / "dev" / "data" / "*")) == []  # zero-copy
-    assert t.pins() == {f"clone:dev": v_clone}
+    pin_name = c.manifest()["cloned_from"]["pin"]
+    assert pin_name.startswith("clone:dev:")  # basename + abspath hash
+    assert t.pins() == {pin_name: v_clone}
 
     # the clone inherits the source's epoch fences: replaying an
     # already-applied epoch skips (the clone HAS that data)
@@ -527,7 +529,7 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     t.expire_versions(keep_last=1)
     assert {r["k"]: r["v"] for r in t.read(version=v_clone).collect()} == {"a": 1, "b": 2}
     assert {r["k"]: r["v"] for r in c.read().collect()} == {"a": 99, "b": 2}
-    t.unpin("clone:dev")
+    t.unpin(pin_name)
     t.expire_versions(keep_last=1)
     import pytest as _pytest
 
@@ -1054,3 +1056,50 @@ def test_multi_writer_process_race(spark, tmp_path, repos_schema):
                 on_disk.add(os.path.join(data_root, vdir, bdir))
     assert on_disk <= live, f"orphans survived expiry: {sorted(on_disk - live)[:5]}"
     assert t.read().count() == 300
+
+
+def test_clone_pins_distinct_for_shared_basename(spark, tmp_path):
+    """ADVICE r3 (medium): two clones whose dst roots share a BASENAME
+    (mkdtemp()+'/t' patterns) must hold two independent pins on the
+    source — with the old basename-only pin name the second clone
+    re-pointed the first's pin and expiry could reclaim files the
+    first clone still reads."""
+    t = LakeTable.create(spark, str(tmp_path / "src"), _schema(), ["k"], n_buckets=2)
+    t.merge_cdc(_src(spark, [("a", 1, "insert", 1)]), epoch=0)
+    v1 = t.current_version()
+    c1 = t.clone(str(tmp_path / "x1" / "t"))
+    t.merge_cdc(_src(spark, [("a", 2, "update", 2)]), epoch=1)
+    v2 = t.current_version()
+    c2 = t.clone(str(tmp_path / "x2" / "t"))  # same basename 't', later version
+    p1 = c1.manifest()["cloned_from"]["pin"]
+    p2 = c2.manifest()["cloned_from"]["pin"]
+    assert p1 != p2
+    assert t.pins() == {p1: v1, p2: v2}
+    # churn + expire: BOTH clones' versions stay readable
+    for i in range(3):
+        t.merge_cdc(_src(spark, [("a", 10 + i, "update", 10 + i)]), epoch=10 + i)
+    t.expire_versions(keep_last=1)
+    assert c1.read().first()["v"] == 1
+    assert c2.read().first()["v"] == 2
+
+
+def test_expire_retains_versions_newer_than_current_read(spark, tmp_path):
+    """ADVICE r3 (medium): a writer that commits v(cur+1) between
+    expire_versions' CURRENT read and its meta-dir listing must not
+    have its just-committed manifest deleted / data reclaimed.
+    Simulated by pinning expire's view of CURRENT to a stale value."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2)
+    for i in range(4):  # versions 1..4
+        t.merge_cdc(_src(spark, [("a", i, "update" if i else "insert", i + 1)]), epoch=i)
+    real_cur = t.current_version()
+    assert real_cur == 4
+    # expire believes CURRENT is 2 (versions 3 and 4 committed "after")
+    t.current_version = lambda: 2  # type: ignore[method-assign]
+    t.expire_versions(keep_last=1, orphan_grace_sec=0.0)
+    del t.current_version  # restore the real method
+    # v3/v4 manifests and data survive; v1 expired as usual
+    assert t.manifest(4)["version"] == 4
+    assert t.manifest(3)["version"] == 3
+    assert t.read(version=4).first()["v"] == 3
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)

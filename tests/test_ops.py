@@ -206,11 +206,80 @@ def test_diff_catalogs_walk(spark, tmp_path):
     assert d["changed"]["status"] == "data_changed"
     assert d["changed"]["n_row_diffs"] == 1
     assert d["changed"]["cols_changed"] == ["v"]
+    assert dict(d["changed"]["col_row_diffs"]) == {"v": 1}
     assert d["gone"]["status"] == "removed" and d["gone"]["rows_a"] == 2
     assert d["new"]["status"] == "added" and d["new"]["rows_b"] == 2
     assert "k" in d["new"]["cols_added"] and "v" in d["new"]["cols_added"]
     assert d["wider"]["status"] == "schema_changed"
     assert d["wider"]["cols_added"] == ["w"]
+
+
+def test_diff_catalogs_per_column_row_counts(spark, tmp_path):
+    """Per-column changed row counts (the reference's etl-diff detail,
+    etl/datadiff.py:29-150): a table with two changed columns reports
+    {col: n_changed} with independent counts per column."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.table import LakeCatalog
+    from etl_spark.ops.diff import diff_catalogs
+
+    sch = T.StructType([
+        T.StructField("k", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("s", T.StringType(), True),
+    ])
+    cat_a = LakeCatalog(spark, str(tmp_path / "a"))
+    cat_b = LakeCatalog(spark, str(tmp_path / "b"))
+    cols = "k string, v long, s string, op string, seq long"
+    ta = cat_a.create_table("t", sch, ["k"], n_buckets=2)
+    tb = cat_b.create_table("t", sch, ["k"], n_buckets=2)
+    ta.merge_cdc(spark.createDataFrame(
+        [("a", 1, "x", "insert", 1), ("b", 2, "y", "insert", 2),
+         ("c", 3, "z", "insert", 3)], cols), epoch=0)
+    tb.merge_cdc(spark.createDataFrame(
+        # v changed on a AND b; s changed on b only
+        [("a", 10, "x", "insert", 1), ("b", 20, "Y", "insert", 2),
+         ("c", 3, "z", "insert", 3)], cols), epoch=0)
+    d = {r["table"]: r for r in diff_catalogs(cat_a, cat_b).collect()}
+    assert d["t"]["status"] == "data_changed"
+    assert d["t"]["n_row_diffs"] == 2
+    assert dict(d["t"]["col_row_diffs"]) == {"v": 2, "s": 1}
+    assert d["t"]["cols_changed"] == ["s", "v"]
+
+
+def test_diff_catalogs_manifest_short_circuit(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (low): two tables whose manifests carry identical
+    base/delta file pointers (a fresh clone_catalog) compare 'equal'
+    WITHOUT a distributed scan — frame_diff is never called."""
+    from pyspark.sql import types as T
+
+    from etl_spark import ops
+    from etl_spark.lake.table import LakeCatalog
+    from etl_spark.ops.diff import diff_catalogs
+
+    sch = T.StructType([
+        T.StructField("k", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    cat = LakeCatalog(spark, str(tmp_path / "prod"))
+    t = cat.create_table("t", sch, ["k"], n_buckets=2)
+    t.merge_cdc(spark.createDataFrame(
+        [("a", 1, "insert", 1)], "k string, v long, op string, seq long"), epoch=0)
+    dev = cat.clone_catalog(str(tmp_path / "dev"))
+
+    def boom(*a, **kw):
+        raise AssertionError("frame_diff must not run on pointer-identical tables")
+
+    monkeypatch.setattr(ops.diff, "frame_diff", boom)
+    d = {r["table"]: r for r in diff_catalogs(cat, dev).collect()}
+    assert d["t"]["status"] == "equal" and d["t"]["n_row_diffs"] == 0
+    # and a divergent clone DOES scan (the short-circuit is pointer-exact)
+    monkeypatch.undo()
+    dev.table("t").merge_cdc(spark.createDataFrame(
+        [("a", 9, "update", 2)], "k string, v long, op string, seq long"), epoch=1)
+    d2 = {r["table"]: r for r in diff_catalogs(cat, dev).collect()}
+    assert d2["t"]["status"] == "data_changed"
+    assert dict(d2["t"]["col_row_diffs"]) == {"v": 1}
 
 
 def test_table_checksum_partition_invariant(spark):
@@ -352,6 +421,28 @@ def test_asof_join_backward(spark):
     }
     # left row count is preserved exactly (left-join flavor)
     assert out.count() == 4
+
+
+def test_asof_join_carries_matched_rows_nulls(spark):
+    """ADVICE r3 (low): a matched right row whose value column is
+    genuinely NULL must be carried as NULL (pandas merge_asof / DuckDB
+    ASOF), not skipped in favor of an older row's non-null value —
+    and ts_out must stay consistent with the carried values."""
+    from etl_spark.ops.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 12, "l12"), ("u1", 25, "l25")], "uid string, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0, "x"), ("u1", 20, None, None)],
+        "uid string, t long, v double, w string",
+    )
+    out = asof_join(left, right, by=["uid"], left_ts="t", right_ts="t",
+                    value_cols=["v", "w"])
+    got = {r["tag"]: (r["t_asof"], r["v_asof"], r["w_asof"]) for r in out.collect()}
+    # l25 matches the t=20 row — whose v/w are NULL — and must carry
+    # (20, None, None), not (20, 1.0, 'x')
+    assert got == {"l12": (10, 1.0, "x"), "l25": (20, None, None)}
 
 
 def test_connected_components_min_label(spark):
