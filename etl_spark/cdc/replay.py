@@ -108,6 +108,44 @@ def suggest_salt_buckets(
     return max(1, -(-int(top) // target_rows_per_task))
 
 
+def decide_salt(
+    events: DataFrame,
+    keys: list[str] = KEY,
+    seq_col: str = "seq",
+    salt_threshold: int = 2_000_000,
+    sample_mod: int = 20,
+    target_rows_per_task: int = 500_000,
+) -> dict:
+    """The auto-salt policy (SURVEY.md §7 'salt-width heuristic', now
+    wired rather than advisory): estimate the hottest key's row count
+    from a deterministic 1/``sample_mod`` sample keyed on
+    ``xxhash64(seq)`` — partitioning-independent, so the decision is
+    reproducible run-to-run — and flip to the two-phase salted dedup
+    only when that estimate exceeds ``salt_threshold`` (the point
+    where ONE reducer's sort/spill capacity is threatened; below it
+    the fused merge's map-side partial aggregation / WindowGroupLimit
+    absorbs the hot key with no extra payload pass — measured in
+    bench.py cdc.skew: fused beats salted at 50%-hot-of-1M).
+
+    Cost: one keys-only aggregation over the sample (column pruning
+    keeps the payload columns out of the scan) — a few percent of the
+    merge itself. ``sample_mod=1`` makes the probe exact (used by the
+    boundary-pinning test). Salt width when flipping:
+    ceil(est_top / target_rows_per_task), min 2."""
+    sampled = events.select(*keys, seq_col).filter(
+        F.pmod(F.xxhash64(F.col(seq_col)), F.lit(sample_mod)) == 0
+    )
+    top = sampled.groupBy(*keys).count().agg(F.max("count").alias("m")).first()["m"] or 0
+    est = int(top) * sample_mod
+    if est <= salt_threshold:
+        return {"salted": False, "salt_buckets": 1, "est_top_key_rows": est}
+    return {
+        "salted": True,
+        "salt_buckets": max(2, -(-est // target_rows_per_task)),
+        "est_top_key_rows": est,
+    }
+
+
 def batch_digest(staged: DataFrame, seq_col: str = "seq") -> str:
     """Order-independent digest of a staged batch: bit_xor of per-row
     64-bit hashes (commutative reduction — SURVEY.md hard part #3:
@@ -120,7 +158,14 @@ def batch_digest(staged: DataFrame, seq_col: str = "seq") -> str:
     return format((s or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
 
 
-def apply_batch(table, events: DataFrame, epoch=None, salted: bool = False) -> dict:
+def apply_batch(
+    table,
+    events: DataFrame,
+    epoch=None,
+    salted: bool | str = False,
+    salt_threshold: int = 2_000_000,
+    salt_sample_mod: int = 20,
+) -> dict:
     """MERGE one event batch into a LakeTable.
 
     If the table declares derived columns (e.g. content_sha256), the
@@ -129,18 +174,37 @@ def apply_batch(table, events: DataFrame, epoch=None, salted: bool = False) -> d
     aggregation and checksums only the winners — one full-payload
     shuffle instead of two, ~events-per-key fewer hashes. Otherwise
     the classic stage-then-merge path runs (checksums computed during
-    staging so they land in the table without a derived spec)."""
+    staging so they land in the table without a derived spec).
+
+    ``salted="auto"`` runs the ``decide_salt`` probe first (one cheap
+    keys-only sample aggregation) and flips to the salted path only
+    for batches whose hottest key exceeds ``salt_threshold`` rows —
+    beyond-reducer-capacity skew; everything else stays on the fused
+    single-shuffle plan. The decision is recorded in the returned
+    stats under ``salt_decision``."""
+    decision = None
+    salt_buckets = 32
+    if salted == "auto":
+        decision = decide_salt(
+            events, salt_threshold=salt_threshold, sample_mod=salt_sample_mod
+        )
+        salted = decision["salted"]
+        salt_buckets = decision["salt_buckets"]
     if table.derived_columns and not salted:
         ev = canonicalize(events)
         if "ts" in ev.columns:
             ev = ev.drop("ts")
-        return table.merge_cdc(ev, epoch=epoch)
-    # salted=True always routes through the staged path: the two-phase
-    # salted reduction pre-shrinks pathologically hot keys BEFORE the
-    # merge shuffle (the north rule's explicit mitigation), at the cost
-    # of one extra payload pass
-    staged = stage_batch(events, salted=salted)
-    return table.merge_cdc(staged, epoch=epoch)
+        out = table.merge_cdc(ev, epoch=epoch)
+    else:
+        # the salted route goes through the staged path: the two-phase
+        # salted reduction pre-shrinks pathologically hot keys BEFORE
+        # the merge shuffle (the north rule's explicit mitigation), at
+        # the cost of one extra payload pass
+        staged = stage_batch(events, salted=bool(salted), salt_buckets=salt_buckets)
+        out = table.merge_cdc(staged, epoch=epoch)
+    if decision is not None:
+        out = {**out, "salt_decision": decision}
+    return out
 
 
 def replay(
@@ -149,7 +213,7 @@ def replay(
     events: DataFrame,
     batch_size: int | None = None,
     n_events: int | None = None,
-    salted: bool = False,
+    salted: bool | str = False,
 ) -> list[dict]:
     """Batch replay of a whole log, optionally split into seq-range
     epochs (epoch i covers seq in [i*batch_size, (i+1)*batch_size) —

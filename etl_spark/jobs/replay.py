@@ -63,8 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checksum-col", default="content_sha256",
                    help="derived sha256 column ('' to disable)")
     p.add_argument("--checksum-src", default="content")
-    p.add_argument("--salted", action="store_true",
-                   help="use the explicit two-phase salted dedup stage")
+    p.add_argument("--salted", nargs="?", const=True, default="auto",
+                   type=lambda s: {"auto": "auto", "on": True, "true": True,
+                                   "off": False, "false": False}[s.lower()],
+                   help="two-phase salted dedup stage: 'auto' (default) probes "
+                        "each batch's hottest key and salts only beyond-"
+                        "reducer-capacity skew; bare flag / 'on' forces it; "
+                        "'off' disables the probe (always fused)")
     p.add_argument("--lineage-ranges", type=int, default=8)
     p.add_argument("--maintain-every", type=int, default=None,
                    help="stream mode: run maintenance (version expiry, MOR "

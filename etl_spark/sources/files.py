@@ -86,22 +86,117 @@ def read_feather(spark: SparkSession, path: str) -> DataFrame:
     return normalize_columns(df)
 
 
+def _xlsx_cell_col(ref: str) -> int:
+    """0-based column index from an A1-style cell reference."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _read_xlsx_rows(path: str, sheet=0) -> list[list]:
+    """Minimal stdlib xlsx sheet reader (zipfile + ElementTree — an
+    xlsx is a zip of XML). Covers the snapshot-reader surface the
+    reference uses (etl/snapshot.py:141-172 via pandas.read_excel):
+    shared strings (incl. rich-text runs), inline strings, formula
+    cached strings, booleans, numbers (int when integral), blank
+    cells as None. ``sheet`` selects by 0-based index or by name
+    (workbook order, resolved through the workbook rels)."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(path) as z:
+        # sheet name -> worksheet part, in workbook order
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {
+            r.get("Id"): r.get("Target").lstrip("/")
+            for r in rels.findall("{*}Relationship")
+        }
+        sheets = []  # (name, zip path)
+        for s in wb.find("{*}sheets").findall("{*}sheet"):
+            rid = s.get("{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id")
+            target = rid_to_target[rid]
+            if not target.startswith("xl/"):
+                target = "xl/" + target
+            sheets.append((s.get("name"), target))
+        if isinstance(sheet, int):
+            name, target = sheets[sheet]
+        else:
+            match = [t for n, t in sheets if n == sheet]
+            if not match:
+                raise ValueError(f"no such sheet {sheet!r}; have {[n for n, _ in sheets]}")
+            target = match[0]
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst.findall("{*}si"):
+                # plain <t> or rich-text runs <r><t>; concatenate runs
+                shared.append("".join(t.text or "" for t in si.iter() if t.tag.endswith("}t")))
+
+        def cell_value(c):
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                is_el = c.find("{*}is")
+                return "".join(
+                    el.text or "" for el in is_el.iter() if el.tag.endswith("}t")
+                ) if is_el is not None else None
+            v = c.find("{*}v")
+            if v is None or v.text is None:
+                return None
+            if t == "s":
+                return shared[int(v.text)]
+            if t in ("str",):  # formula cached string
+                return v.text
+            if t == "b":
+                return v.text == "1"
+            x = float(v.text)
+            return int(x) if x.is_integer() else x
+
+        ws = ET.fromstring(z.read(target))
+        rows: list[list] = []
+        for row in ws.find("{*}sheetData").findall("{*}row"):
+            out: list = []
+            for c in row.findall("{*}c"):
+                ref = c.get("r")
+                idx = _xlsx_cell_col(ref) if ref else len(out)
+                while len(out) < idx:
+                    out.append(None)  # gap: blank cells are omitted from the XML
+                out.append(cell_value(c))
+            rows.append(out)
+        return rows
+
+
 def read_excel(spark: SparkSession, path: str, sheet=0, **options) -> DataFrame:
-    """Excel reader (snapshot.py:148-164, tables.py:1087-1110) —
-    gated: xlsx parsing needs openpyxl, which this sandbox does not
-    ship. With the dependency present the file loads driver-side via
-    pandas like the reference; without it the error says exactly what
-    to install (honest stub, not a silent fallback)."""
+    """Excel snapshot reader (snapshot.py:148-164, tables.py:1087-1110).
+    With openpyxl present the file loads driver-side via
+    pandas.read_excel exactly like the reference; without it (this
+    sandbox) a stdlib zipfile+ElementTree sheet parser handles the
+    shared-strings/inline/number/boolean cell vocabulary — no new
+    dependency. Excel files are snapshot-scale (single immutable
+    source files), so driver-side parsing is the right cost model;
+    lake-scale data stays parquet. First row is the header."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "read_excel requires openpyxl (not available in this sandbox); "
-            "pre-convert the sheet to csv/parquet or install openpyxl"
-        ) from e
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet, **options)
+        return normalize_columns(spark.createDataFrame(pdf))
+    except ImportError:
+        pass
+    rows = _read_xlsx_rows(path, sheet=sheet)
+    if not rows:
+        raise ValueError(f"empty sheet in {path}")
+    header = [str(h) for h in rows[0]]
+    width = len(header)
+    data = [tuple(r[:width]) + (None,) * (width - len(r)) for r in rows[1:]]
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet, **options)
+    pdf = pd.DataFrame(data, columns=header)
     return normalize_columns(spark.createDataFrame(pdf))
 
 

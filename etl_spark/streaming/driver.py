@@ -130,7 +130,7 @@ class CdcStream:
         self,
         table: LakeTable,
         checkpoint_dir: str,
-        salted: bool = False,
+        salted: bool | str = False,
         lineage_ranges: int = 8,
         maintain_every: int | None = None,
         keep_versions: int = 4,
@@ -261,11 +261,16 @@ class CdcStream:
         # a crash before the merge commit leaves it orphaned-but-correct
         rows, digest = lineage_stats(can, epoch, self.lineage_ranges)
         self._write_lineage(rows, epoch)
-        if self.table.derived_columns:
+        salted = self.salted
+        if salted == "auto":
+            # per-batch hot-key probe (keys-only sample aggregation);
+            # opt-in — costs one extra tiny job per micro-batch
+            salted = R.decide_salt(can)["salted"]
+        if salted:
+            src = R.with_content_sha256(R.dedup_latest_salted(can))
+        elif self.table.derived_columns:
             # fused path: one max_by resolves dedup + target union
             src = can
-        elif self.salted:
-            src = R.with_content_sha256(R.dedup_latest_salted(can))
         else:
             src = R.with_content_sha256(R.dedup_latest(can))
         out = self.table.merge_cdc(

@@ -137,3 +137,47 @@ def test_suggest_salt_buckets(spark):
     )
     # hottest key = 5000 rows, target 1000 -> 5 salt buckets
     assert suggest_salt_buckets(hot, target_rows_per_task=1000) == 5
+
+
+def test_auto_salt_replay_matches_oracle(spark, events, oracle, repos_schema, tmp_path):
+    """salted='auto' (the default policy): the probe stays FUSED on a
+    normal batch and the final state matches the oracle."""
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    stats = R.apply_batch(tbl, events, epoch=0, salted="auto")
+    assert stats["salt_decision"]["salted"] is False  # 8k uniform-ish events
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_decide_salt_boundary(spark):
+    """Pins the auto-salt decision boundary: with an exact probe
+    (sample_mod=1), the flip happens strictly ABOVE salt_threshold,
+    and the salt width is ceil(top/target) with a floor of 2."""
+    from etl_spark.cdc.replay import decide_salt
+
+    ev = spark.range(1000).select(
+        F.lit("hot/repo").alias("repo"), F.lit("src/f.rs").alias("path"),
+        F.col("id").alias("seq"),
+    )
+    at = decide_salt(ev, salt_threshold=1000, sample_mod=1)
+    assert at == {"salted": False, "salt_buckets": 1, "est_top_key_rows": 1000}
+    above = decide_salt(ev, salt_threshold=999, sample_mod=1, target_rows_per_task=300)
+    assert above["salted"] is True
+    assert above["salt_buckets"] == 4  # ceil(1000/300)
+    tiny = decide_salt(ev, salt_threshold=10, sample_mod=1, target_rows_per_task=100_000)
+    assert tiny["salted"] is True and tiny["salt_buckets"] == 2  # floor of 2
+
+
+def test_auto_salt_pathological_flips_and_matches(spark, repos_schema, tmp_path):
+    """A forced pathological batch (every event on ONE key) flips
+    apply_batch's auto policy to the salted path and still converges
+    to the oracle state (latest event wins)."""
+    n = 2000
+    ev = generate_events(spark, n)
+    hot = ev.withColumn("repo", F.lit("org0/hotrepo")).withColumn("path", F.lit("src/hot.rs"))
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    stats = R.apply_batch(tbl, hot, epoch=0, salted="auto",
+                          salt_threshold=500, salt_sample_mod=1)
+    assert stats["salt_decision"]["salted"] is True
+    assert stats["salt_decision"]["est_top_key_rows"] == n
+    exp = oracle_final_state(hot.toPandas())[COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(tbl), exp, check_dtype=False)

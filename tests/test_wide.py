@@ -149,11 +149,49 @@ def test_read_feather_and_excel_gate(spark, tmp_path):
     snap = Snapshot.pin(p, fmt="feather")
     assert snap.read(spark).count() == 2
 
-    try:
-        import openpyxl  # noqa: F401
-        has_openpyxl = True
-    except ImportError:
-        has_openpyxl = False
-    if not has_openpyxl:
-        with _pytest.raises(NotImplementedError):
-            read_excel(spark, str(tmp_path / "missing.xlsx"))
+    # stdlib xlsx path runs UNGATED: the test authors a minimal xlsx
+    # (an xlsx is a zip of XML) exercising shared strings, rich-text
+    # runs, inline strings, booleans, ints/floats, and blank-cell gaps
+    import zipfile
+
+    xp = str(tmp_path / "snap.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    with zipfile.ZipFile(xp, "w") as z:
+        z.writestr("xl/workbook.xml",
+                   f'<workbook {ns} xmlns:r="{rns}"><sheets>'
+                   '<sheet name="Data" sheetId="1" r:id="rId1"/>'
+                   '<sheet name="Other" sheetId="2" r:id="rId2"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                   '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+                   '<Relationship Id="rId2" Type="x" Target="worksheets/sheet2.xml"/>'
+                   "</Relationships>")
+        z.writestr("xl/sharedStrings.xml",
+                   f'<sst {ns} count="3" uniqueCount="3">'
+                   "<si><t>Country Name</t></si><si><t>GDP</t></si>"
+                   "<si><r><t>Fr</t></r><r><t>ance</t></r></si></sst>")
+        z.writestr("xl/worksheets/sheet1.xml",
+                   f'<worksheet {ns}><sheetData>'
+                   '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+                   '<c r="C1" t="inlineStr"><is><t>Flag</t></is></c></row>'
+                   '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42.5</v></c>'
+                   '<c r="C2" t="b"><v>1</v></c></row>'
+                   # blank B gap: only A and C present
+                   '<row r="3"><c r="A3" t="inlineStr"><is><t>Chad</t></is></c>'
+                   '<c r="C3" t="b"><v>0</v></c></row>'
+                   "</sheetData></worksheet>")
+        z.writestr("xl/worksheets/sheet2.xml",
+                   f'<worksheet {ns}><sheetData>'
+                   '<row r="1"><c r="A1" t="inlineStr"><is><t>only</t></is></c></row>'
+                   '<row r="2"><c r="A2"><v>7</v></c></row>'
+                   "</sheetData></worksheet>")
+    df = read_excel(spark, xp)
+    assert df.columns == ["country_name", "gdp", "flag"]
+    got = {r["country_name"]: (r["gdp"], r["flag"]) for r in df.collect()}
+    assert got == {"France": (42.5, True), "Chad": (None, False)}
+    # sheet by name and by index
+    assert read_excel(spark, xp, sheet="Other").columns == ["only"]
+    assert read_excel(spark, xp, sheet=1).first()["only"] == 7
+    with _pytest.raises(ValueError):
+        read_excel(spark, xp, sheet="Nope")
