@@ -416,6 +416,48 @@ def q_mor_read_equivalence(spark, sf_dir):
     return _final_state(_replay_events_table(spark, sf_dir, "mor"))
 
 
+def q_change_feed_mirror(spark, sf_dir):
+    """Change feed as a Structured Streaming SOURCE, driven end to
+    end in batch-form (availableNow): the shared MOR replay table's
+    per-commit delta files are tailed by a streaming query
+    (streaming/feed.read_change_stream — Spark's parquet
+    FileStreamSource over the delta glob) and merged into a SECOND
+    lake table with a different bucket layout; the mirror's final
+    state must equal a straight replay of all events. The
+    streaming-native completion of the reference's --watch +
+    dirty-propagation semantics (etl/files.py:190-211,
+    etl/steps/__init__.py:826-858); kill/resume and fresh-checkpoint
+    incarnations are covered by tests/test_feed.py."""
+    def build():
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_spark.lake.table import LakeTable
+        from etl_spark.streaming.feed import mirror_stream
+
+        src_tbl = _replay_events_table(spark, sf_dir, "mor")
+        root = tempfile.mkdtemp(prefix="lakefeed_", dir=_scratch_dir())
+        schema = T.StructType([
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+            T.StructField("props_sha256", T.StringType(), True),
+        ])
+        mirror = LakeTable.create(
+            spark, root + "/mirror", schema, ["user_id"],
+            seq_col="last_seq", n_buckets=4,
+        )
+        q = mirror_stream(spark, src_tbl, mirror, root + "/chk",
+                          max_files_per_trigger=4)
+        q.awaitTermination()
+        return mirror
+
+    tbl = _cached_fixture(spark, ("feed_mirror", os.path.abspath(sf_dir)), build)
+    return _final_state(tbl)
+
+
 def q_cdc_merge_evolved(spark, sf_dir):
     """COW merge + transactional schema evolution: epoch 1 adds a
     column; the final state exposes it as NULL for pre-evolution
@@ -2194,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_table": q_cdc_merge_table,
         "cdc_merge_evolved": q_cdc_merge_evolved,
         "mor_read_equivalence": q_mor_read_equivalence,
+        "change_feed_mirror": q_change_feed_mirror,
         "content_sha256": q_content_sha256,
         "dataset_checksum": q_dataset_checksum,
         "pricing_summary": q_pricing_summary,
@@ -2278,6 +2321,7 @@ FROM (
         "cdc_merge_table": _SQL_MERGE_FINAL,
         "cdc_merge_evolved": _SQL_MERGE_EVOLVED,
         "mor_read_equivalence": _SQL_MERGE_FINAL,
+        "change_feed_mirror": _SQL_MERGE_FINAL,
         "content_sha256": "SELECT doc_id, SHA256(text) AS text_sha256 FROM documents",
         "dataset_checksum": """
 SELECT source, COUNT(*) AS n_docs,

@@ -1,0 +1,154 @@
+"""Change feed as a Structured Streaming SOURCE (streaming/feed.py):
+multi-hop streaming pipelines — a writer stream drains a WAL into
+table A while a second streaming query tails A's change feed into
+mirror B; both are killed and resumed; B converges to the independent
+pandas oracle. The full-streaming completion of the reference's
+--watch + dirty-propagation semantics (etl/files.py:190-211,
+etl/steps/__init__.py:826-858)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.generator import generate_events, oracle_final_state
+from etl_spark.lake import LakeTable
+from etl_spark.sources.wal import EVENT_SCHEMA
+from etl_spark.streaming.driver import CdcStream
+from etl_spark.streaming.feed import mirror_stream, read_change_stream
+
+N = 6_000
+COLS = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+
+
+def _mor_table(spark, root, n_buckets=8):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in COLS]
+    )
+    return LakeTable.create(
+        spark, root, schema, ["repo", "path"], n_buckets=n_buckets,
+        derived={"content_sha256": ("sha256", "content")}, write_mode="mor",
+    )
+
+
+def _final(tbl):
+    return tbl.read().select(*COLS).orderBy("repo", "path").toPandas().reset_index(drop=True)
+
+
+def _append_wal(spark, wal, lo, hi, step):
+    for a in range(lo, hi, step):
+        generate_events(spark, N, start=a, end=min(a + step, hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(wal)
+
+
+def test_feed_mirror_kill_resume_matches_oracle(spark, repos_schema, tmp_path):
+    """WAL -> A (streaming writer) -> B (streaming change-feed tail),
+    with (a) an injected crash mid-backlog in the mirror, (b) a clean
+    stop of BOTH queries between two WAL growth stages. After resume,
+    B == A == pandas oracle."""
+    wal = str(tmp_path / "wal")
+    chk_w, chk_m = str(tmp_path / "chk_w"), str(tmp_path / "chk_m")
+    _append_wal(spark, wal, 0, 3000, 1000)  # stage 1: three files
+
+    A = _mor_table(spark, str(tmp_path / "A"))
+    B = LakeTable.create(spark, str(tmp_path / "B"), repos_schema,
+                         ["repo", "path"], n_buckets=4)  # different layout on purpose
+    CdcStream(A, chk_w).run_to_completion(
+        spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    assert len(A.manifest().get("deltas", [])) >= 3  # one delta per commit
+
+    # mirror with an injected crash on its second micro-batch
+    calls = {"n": 0}
+    real_merge = B.merge_cdc
+
+    def crashy(src, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mirror crash")
+        return real_merge(src, **kw)
+
+    B.merge_cdc = crashy  # type: ignore[method-assign]
+    q = mirror_stream(spark, A, B, chk_m, max_files_per_trigger=1)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    B.merge_cdc = real_merge  # type: ignore[method-assign]
+    applied_mid = len(B.committed_epochs())
+    assert applied_mid >= 1  # genuinely mid-backlog
+
+    # resume the mirror on the same checkpoint: finishes the backlog
+    q = mirror_stream(spark, A, B, chk_m, max_files_per_trigger=1)
+    q.awaitTermination()
+    half_oracle = oracle_final_state(
+        generate_events(spark, N, end=3000).toPandas()
+    )[COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(B), half_oracle, check_dtype=False)
+
+    # stage 2: both queries are stopped ("killed"); more WAL arrives;
+    # both resume from their checkpoints and process ONLY the new data
+    _append_wal(spark, wal, 3000, 6000, 1500)
+    CdcStream(A, chk_w).run_to_completion(
+        spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    v_b_before = B.current_version()
+    q = mirror_stream(spark, A, B, chk_m, max_files_per_trigger=2)
+    q.awaitTermination()
+    oracle = oracle_final_state(generate_events(spark, N).toPandas())[COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(A), oracle, check_dtype=False)
+    pd.testing.assert_frame_equal(_final(B), oracle, check_dtype=False)
+    assert B.current_version() > v_b_before  # stage 2 really flowed through
+
+
+def test_feed_fresh_checkpoint_incarnation_is_idempotent(spark, repos_schema, tmp_path):
+    """A consumer rebuilt with a FRESH checkpoint replays the whole
+    feed: batch ids restart at 0, so the epoch fence must NOT collide
+    with the previous incarnation's fences (checkpoint identity is in
+    the fence key) — the replay re-merges content-identically and the
+    mirror state is unchanged."""
+    wal = str(tmp_path / "wal")
+    _append_wal(spark, wal, 0, 2000, 1000)
+    A = _mor_table(spark, str(tmp_path / "A"), n_buckets=4)
+    B = LakeTable.create(spark, str(tmp_path / "B"), repos_schema, ["repo", "path"], n_buckets=4)
+    CdcStream(A, str(tmp_path / "chk_w")).run_to_completion(
+        spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    q = mirror_stream(spark, A, B, str(tmp_path / "chk_m1"), max_files_per_trigger=1)
+    q.awaitTermination()
+    state1 = _final(B)
+    epochs1 = len(B.committed_epochs())
+    # incarnation 2: new checkpoint, same dst
+    q = mirror_stream(spark, A, B, str(tmp_path / "chk_m2"), max_files_per_trigger=1)
+    q.awaitTermination()
+    pd.testing.assert_frame_equal(_final(B), state1, check_dtype=False)
+    # the replay actually ran (new fences committed), it did not hit
+    # the old incarnation's fences and skip
+    assert len(B.committed_epochs()) > epochs1
+
+
+def test_read_change_stream_requires_mor(spark, repos_schema, tmp_path):
+    cow = LakeTable.create(spark, str(tmp_path / "cow"), repos_schema, ["repo", "path"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        read_change_stream(spark, cow)
+
+
+def test_feed_shape_and_deletes(spark, repos_schema, tmp_path):
+    """The feed carries deletes as op='delete' and multiple commits'
+    rows for one key resolve by seq in the consumer (one micro-batch
+    may span several commits)."""
+    A = _mor_table(spark, str(tmp_path / "A"), n_buckets=2)
+    ev = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, content_sha256 string, op string, seq long"
+    )
+    A.merge_cdc(ev([("r", "a", "c1", "py", "x", None, "insert", 1),
+                    ("r", "b", "c1", "py", "y", None, "insert", 2)]), epoch=0)
+    A.merge_cdc(ev([("r", "a", "c2", "py", "x2", None, "update", 3)]), epoch=1)
+    A.merge_cdc(ev([("r", "b", None, None, None, None, "delete", 4)]), epoch=2)
+    B = LakeTable.create(spark, str(tmp_path / "B"), repos_schema, ["repo", "path"], n_buckets=2)
+    # no maxFilesPerTrigger: all three commits land in ONE micro-batch
+    q = mirror_stream(spark, A, B, str(tmp_path / "chk"))
+    q.awaitTermination()
+    got = {r["path"]: (r["commit"], r["content"]) for r in B.read().collect()}
+    assert got == {"a": ("c2", "x2")}  # b deleted, a at latest seq
