@@ -29,6 +29,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "3000000"))
 CDC_TRIALS = int(os.environ.get("BENCH_CDC_TRIALS", "2"))
+QUERY_TRIALS = int(os.environ.get("BENCH_QUERY_TRIALS", "2"))
+DRAIN_10M = int(os.environ.get("BENCH_DRAIN_10M_EVENTS", "10000000"))
 # Scaling pair: N and 4N parallelism on the SAME input (the north
 # rule's two-cluster-size criterion). N=2 is chosen because a pure-CPU
 # probe (cpu_probe) shows this sandbox VM delivers ~16 effective cores
@@ -69,6 +71,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "source_mix",
     "table_changes",
+    "change_feed_mirror",
 ]
 
 
@@ -111,22 +114,37 @@ def cpu_probe(spark, n: int = 20_000_000) -> float:
     return time.time() - t0
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     import __spark_entry__ as E
 
     qs = E.queries()
-    out = {}
+    out: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     # steady-state protocol (round 2+): one untimed scan+groupBy first
     # so JVM/codegen warmup does not land on whichever query runs
     # first. Round 1 had no warmup — BASELINE.md §d's r1-vs-r2 table
     # was measured WITHOUT this so the comparison stayed protocol-equal.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy("l_returnflag").count().collect()
+    # round 4+: each query runs QUERY_TRIALS times and the reported
+    # value is the BEST — a single sample on this hypervisor-shared VM
+    # made a 2x host swing indistinguishable from a real regression
+    # (8 plan-clean queries drifted 1.25-1.98x in the round-3 driver
+    # window). Raw per-trial values ship in query_trials_sec so the
+    # spread is visible. Caveat: the lake-family queries
+    # (cdc_merge_table, table_changes, change_feed_mirror) build a
+    # process-cached fixture on trial 1 — their trial arrays show
+    # [build+read, read, ...]; the one-time build cost is measured
+    # separately in the cdc section (mor_vs_cow, stream_drain).
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        out[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        for _ in range(QUERY_TRIALS):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            samples.append(round(time.time() - t0, 3))
+        trials[name] = samples
+        out[name] = min(samples)
+        print(f"  {name}: {out[name]}s (trials {samples}, {n} rows)", file=sys.stderr)
     # the production minhash path (xxhash64 signatures)
     from etl_spark.dedup.minhash import lsh_candidate_pairs
 
@@ -153,7 +171,7 @@ def run_queries(spark) -> dict[str, float]:
     n = strip_boilerplate(docs, "doc_id", "text", min_docs=2, n_words=8, use_xxhash=True).count()
     out["line_dedup_xxhash"] = round(time.time() - t0, 3)
     print(f"  line_dedup_xxhash: {out['line_dedup_xxhash']}s ({n} rows)", file=sys.stderr)
-    return out
+    return out, trials
 
 
 def _mk_table(spark, root: str, name: str, write_mode: str = "cow"):
@@ -239,6 +257,96 @@ def stream_drain_bench(spark, root: str, n_events: int, files: int = 8) -> dict:
             out["mode"] = "mor"
         else:
             out["cow"] = stats
+    return out
+
+
+def stream_drain_10m_bench(spark, root: str, n_events: int) -> dict:
+    """Sustained streaming drain: the 1M-event drain proved the
+    per-epoch protocol; this runs the SAME MOR + auto-maintenance
+    pipeline over a 10M-event / 20-epoch backlog and reports (a)
+    sustained ev/s, (b) the delta-depth trajectory across all
+    committed versions (read amplification over time — maintenance
+    must keep it bounded, sawtoothing at compact_deltas_over instead
+    of growing linearly), and (c) how many of the commits were
+    maintenance compactions."""
+    from etl_spark.cdc.generator import write_event_log
+    from etl_spark.streaming.driver import CdcStream
+
+    files, mfpt = 40, 2
+    wal = os.path.join(root, "wal10m")
+    write_event_log(spark, wal, n_events, files=files)
+    tbl = _mk_table(spark, root, "drain10m", write_mode="mor")
+    # live depth trajectory: a downstream hook fires after every epoch
+    # (post-merge, post-maintenance) and reads the manifest's delta
+    # count — auto-maintenance also EXPIRES old versions, so a
+    # post-hoc manifest walk only sees the last keep_versions and
+    # would miss the sawtooth entirely
+    depth_by_epoch: list[int] = []
+    stream = CdcStream(
+        tbl, os.path.join(root, "chk10m"),
+        maintain_every=4, compact_deltas_over=8,
+        downstream=[lambda t: depth_by_epoch.append(
+            len(t.manifest().get("deltas", [])))],
+    )
+    t0 = time.time()
+    stream.run_to_completion(spark, wal, max_files_per_trigger=mfpt)
+    drain = time.time() - t0
+    return {
+        "events": n_events,
+        "epochs": files // mfpt,
+        "drain_sec": round(drain, 2),
+        "events_per_sec": round(n_events / drain),
+        "final_rows": tbl.read().count(),
+        "delta_depth_by_epoch": depth_by_epoch,
+        "max_delta_depth": max(depth_by_epoch) if depth_by_epoch else 0,
+        "n_compactions": sum(
+            1 for a, b in zip(depth_by_epoch, depth_by_epoch[1:]) if b < a
+        ),
+    }
+
+
+def wap_bench(spark, root: str, n_events: int) -> dict:
+    """Write-audit-publish at depth: build a prod table, shallow-clone
+    it, merge a change batch whose keys all live in ONE bucket into
+    the clone (the audit stage), then publish with merge_from. The
+    manifest pointer-compare must restrict the diff to the touched
+    bucket(s) — buckets_compared << n_buckets — and the publish cost
+    must track the BUCKET size, not the table size: measured at n and
+    2n events with the identical change batch."""
+    from etl_spark.cdc import replay as R
+    from etl_spark.cdc.generator import generate_events
+
+    out = {}
+    for label, n in (("1x", n_events), ("2x", 2 * n_events)):
+        prod = _mk_table(spark, root, f"wap_prod_{label}")
+        R.apply_batch(prod, generate_events(spark, n, partitions=64), epoch=0)
+        clone = prod.clone(os.path.join(root, f"wap_clone_{label}"))
+        # audit-stage change batch: 64 keys, all from bucket 0
+        ks = clone.read(buckets={0}).select("repo", "path").limit(64).collect()
+        batch = spark.createDataFrame(
+            [(r["repo"], r["path"], "auditfix", "rust",
+              f"// patched {i}", None, "update", n + 10 + i)
+             for i, r in enumerate(ks)],
+            "repo string, path string, commit string, lang string, "
+            "content string, content_sha256 string, op string, seq long",
+        )
+        clone.merge_cdc(batch, epoch="audit")
+        t0 = time.time()
+        res = prod.merge_from(clone)
+        # rows_written is the PHYSICAL rewrite (COW rewrites whole
+        # touched buckets), not the 64-key logical diff — the contract
+        # evidenced here is buckets_compared=1 of 64 and publish cost
+        # tracking the bucket, not the table: 2x table rows → same
+        # buckets_compared, ~2x rows_rewritten (one bucket is 1/64 of
+        # the table either way), NOT 2x full-table scans.
+        out[label] = {
+            "table_rows": n,
+            "changed_keys": 64,
+            "publish_sec": round(time.time() - t0, 2),
+            "buckets_compared": res["buckets_compared"],
+            "n_buckets": 64,
+            "rows_rewritten": res.get("rows_written"),
+        }
     return out
 
 
@@ -396,7 +504,7 @@ def main() -> None:
 
     spark = fresh_spark(CPUS)
     t0 = time.time()
-    result["queries"] = run_queries(spark)
+    result["queries"], result["query_trials_sec"] = run_queries(spark)
     queries_total = time.time() - t0
 
     # --- CDC replay: peak throughput at local[CPUS], plus the north
@@ -422,6 +530,10 @@ def main() -> None:
         print(f"  mor-vs-cow (8 batches): {mor}", file=sys.stderr)
         stream = stream_drain_bench(spark, root, CDC_EVENTS // 3)
         print(f"  structured-streaming drain: {stream}", file=sys.stderr)
+        drain10m = stream_drain_10m_bench(spark, root, DRAIN_10M)
+        print(f"  sustained 10M drain: {drain10m}", file=sys.stderr)
+        wap = wap_bench(spark, root, CDC_EVENTS // 3)
+        print(f"  write-audit-publish: {wap}", file=sys.stderr)
         skew = skew_bench(spark, root, CDC_EVENTS // 3)
         print(f"  skew (50% one key): {skew}", file=sys.stderr)
         udf_tax = udf_tax_bench(spark)
@@ -478,6 +590,8 @@ def main() -> None:
         "scaling_efficiency": round((eps_hi / eps_lo) / 4, 3),
         "mor_vs_cow": mor,
         "stream_drain": stream,
+        "stream_drain_10m": drain10m,
+        "wap": wap,
         "skew": skew,
         "udf_tax": udf_tax,
         "incremental": incr,

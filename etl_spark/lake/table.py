@@ -1260,7 +1260,8 @@ class LakeTable:
                 for d in m.get("deltas", []):
                     changed |= {int(b) for b in d["buckets"]}
             if not changed:
-                return {"version": m_cur["version"], "skipped": True, "rows_written": 0}
+                return {"version": m_cur["version"], "skipped": True,
+                        "rows_written": 0, "buckets_compared": 0}
             restrict = changed
         keys = m_cur["key_cols"]
         src_fields = other._user_fields(m_src)
@@ -1282,20 +1283,28 @@ class LakeTable:
         c_df = self.read(buckets=restrict).select(*_align(cur_names))
         diff = _state_diff(o_df, c_df, keys, user)
         if diff.isEmpty():
-            return {"version": m_cur["version"], "skipped": True, "rows_written": 0}
+            return {"version": m_cur["version"], "skipped": True, "rows_written": 0,
+                    "buckets_compared": (len(restrict) if restrict is not None
+                                         else int(m_cur["n_buckets"]))}
         cur_max = m_cur.get("max_seq")
         if cur_max is None and (m_cur["buckets"] or m_cur.get("deltas")):
             cur_max = (
                 self.read(include_tombstones=True).agg(F.max(self.seq_col)).first()[0]
             )
         diff = diff.withColumn("seq", F.lit((cur_max or 0) + 1).cast("long"))
-        return self.merge_cdc(
+        res = self.merge_cdc(
             diff, epoch=epoch,
             extra_manifest={"merged_from": {
                 "root": os.path.abspath(other.root),
                 "version": int(m_src["version"]),
             }},
         )
+        # evidence for the O(differing buckets) contract: how many of
+        # the table's buckets the diff actually had to scan
+        res["buckets_compared"] = (
+            len(restrict) if restrict is not None else int(m_cur["n_buckets"])
+        )
+        return res
 
     # ---------- changelog / incremental read ----------
 
