@@ -458,6 +458,40 @@ def q_change_feed_mirror(spark, sf_dir):
     return _final_state(tbl)
 
 
+def q_feed_agg_view(spark, sf_dir):
+    """Streaming-maintained incremental aggregate view
+    (streaming/feed.agg_view_stream): a streaming query tails the MOR
+    replay table's commit log and keeps a second lake table equal to
+    GROUP BY event_type (live-row count) via exact preimage
+    retraction (incremental.sync_agg — deletes retract, group moves
+    contribute -pre/+post, n=0 groups are deleted). Per trigger the
+    work is O(changed buckets) + O(touched groups), never O(table).
+    Oracle: full GROUP BY over the replayed final state."""
+    def build():
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_spark.lake.table import LakeTable
+        from etl_spark.streaming.feed import agg_view_stream
+
+        src_tbl = _replay_events_table(spark, sf_dir, "mor")
+        root = tempfile.mkdtemp(prefix="lakeagg_", dir=_scratch_dir())
+        gschema = T.StructType([
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+        ])
+        G = LakeTable.create(spark, root + "/g", gschema, ["event_type"],
+                             n_buckets=2)
+        q = agg_view_stream(spark, src_tbl, G, root + "/chk", ["event_type"],
+                            max_files_per_trigger=8)
+        q.awaitTermination()
+        return G
+
+    G = _cached_fixture(spark, ("feed_agg_view", os.path.abspath(sf_dir)), build)
+    return G.read().select("event_type", "n")
+
+
 def q_cdc_merge_evolved(spark, sf_dir):
     """COW merge + transactional schema evolution: epoch 1 adds a
     column; the final state exposes it as NULL for pre-evolution
@@ -2237,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_evolved": q_cdc_merge_evolved,
         "mor_read_equivalence": q_mor_read_equivalence,
         "change_feed_mirror": q_change_feed_mirror,
+        "feed_agg_view": q_feed_agg_view,
         "content_sha256": q_content_sha256,
         "dataset_checksum": q_dataset_checksum,
         "pricing_summary": q_pricing_summary,
@@ -2322,6 +2357,15 @@ FROM (
         "cdc_merge_evolved": _SQL_MERGE_EVOLVED,
         "mor_read_equivalence": _SQL_MERGE_FINAL,
         "change_feed_mirror": _SQL_MERGE_FINAL,
+        "feed_agg_view": """
+            SELECT event_type, COUNT(*) AS n
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS rn
+              FROM events
+            ) t WHERE rn = 1 AND event_type <> 'error'
+            GROUP BY event_type
+        """,
         "content_sha256": "SELECT doc_id, SHA256(text) AS text_sha256 FROM documents",
         "dataset_checksum": """
 SELECT source, COUNT(*) AS n_docs,

@@ -737,9 +737,22 @@ class LakeTable:
 
     def _apply_write_options(self, writer):
         """Per-column parquet bloom filters for the manifest's
-        ``bloom_cols`` — row-group skipping for point lookups."""
-        for c in self.manifest().get("bloom_cols", []):
+        ``bloom_cols`` — row-group skipping for point lookups — and
+        ``target_file_rows``: cap rows per output file so one bucket
+        rewrite emits size-bounded files instead of one monolith. At
+        100 TB a hot bucket's single parquet file outgrows what a
+        task should scan (or a shuffle-free re-read can parallelize
+        over); maxRecordsPerFile splits it at write time with no extra
+        shuffle, and every read path already globs the bucket DIR, so
+        multi-file buckets need no manifest change (Delta/Iceberg
+        target-file-size analog, row-count-based because the engine
+        never sees encoded bytes until after the write)."""
+        m = self.manifest()
+        for c in m.get("bloom_cols", []):
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        tfr = m.get("properties", {}).get("target_file_rows")
+        if tfr:
+            writer = writer.option("maxRecordsPerFile", int(tfr))
         return writer
 
     def _commit(self, new_manifest: dict) -> int:

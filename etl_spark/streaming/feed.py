@@ -142,3 +142,59 @@ def mirror_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def agg_view_stream(
+    spark: SparkSession,
+    src: LakeTable,
+    dst: LakeTable,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming-maintained incremental aggregate view: keep ``dst``
+    = GROUP BY ``group_cols`` (n + sum_<col>s) over ``src``'s live
+    state, as a streaming query.
+
+    Division of labor — the stream SCHEDULES, the batch sync is the
+    unit of correctness. Aggregate retraction needs PREIMAGES (an
+    update that moves a key between groups contributes -pre/+post),
+    and the delta-file feed carries post-images only; recovering
+    preimages from the stream would mean stateful key history — a
+    second copy of the table in the state store. ``incremental.
+    sync_agg`` already derives exact preimages from the commit chain
+    (``src.changes``) and commits its watermark ATOMICALLY with the
+    merged aggregate, so each trigger simply runs one sync_agg step:
+    the change-feed tail (Spark's file source over the delta log)
+    provides discovery of new commits, trigger pacing, and blocking
+    semantics, while the sync's own watermark provides exactly-once —
+    REGARDLESS of the stream checkpoint. Kill/resume, duplicate
+    triggers, a stale checkpoint, even a concurrent batch sync_agg on
+    the same dst are all safe (the watermark dedups; optimistic
+    commit + retry covers races). The per-trigger micro-batch
+    DataFrame is never acted on, so its delta files are LISTED but
+    not read — per-trigger cost is sync_agg's own O(changed buckets
+    of src) + O(touched groups of dst), never O(table).
+
+    ``dst`` must be keyed by ``group_cols`` with columns
+    ``group_cols + n + sum_<c>...`` (the sync_agg contract). The
+    parallel to the reference is the --watch + dirty-propagation pair
+    (etl/files.py:190-211): watch detects upstream commits, the step
+    recomputes only what changed."""
+    from etl_spark.lake.incremental import sync_agg
+
+    feed = read_change_stream(spark, src, max_files_per_trigger=max_files_per_trigger)
+
+    def _apply(_batch: DataFrame, _batch_id: int) -> None:
+        sync_agg(src, dst, group_cols, sum_cols)
+
+    writer = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"agg_view:{os.path.basename(dst.root)}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -127,6 +127,58 @@ def test_feed_fresh_checkpoint_incarnation_is_idempotent(spark, repos_schema, tm
     assert len(B.committed_epochs()) > epochs1
 
 
+def test_agg_view_stream_maintains_group_counts(spark, tmp_path):
+    """Streaming-maintained aggregate view: G = GROUP BY lang (n) over
+    A's live state. Commits include inserts, an update that MOVES a
+    key between groups (retraction: -pre/+post), and a delete; the
+    stream is stopped between stages and resumed; after each drain G
+    equals a full recompute of A. A duplicate trigger with a FRESH
+    checkpoint must not double-apply (sync_agg's own watermark, not
+    the stream checkpoint, is the exactly-once mechanism)."""
+    from pyspark.sql import types as T
+
+    from etl_spark.streaming.feed import agg_view_stream
+
+    A = _mor_table(spark, str(tmp_path / "A"), n_buckets=2)
+    gschema = T.StructType([
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ])
+    G = LakeTable.create(spark, str(tmp_path / "G"), gschema, ["lang"], n_buckets=2)
+    ev = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, content_sha256 string, op string, seq long"
+    )
+
+    def recompute():
+        return {
+            r["lang"]: r["n"]
+            for r in A.read().groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+
+    def view():
+        return {r["lang"]: r["n"] for r in G.read().collect()}
+
+    A.merge_cdc(ev([("r", "a", "c1", "py", "x", None, "insert", 1),
+                    ("r", "b", "c1", "py", "y", None, "insert", 2),
+                    ("r", "c", "c1", "go", "z", None, "insert", 3)]), epoch=0)
+    chk = str(tmp_path / "chk_g")
+    agg_view_stream(spark, A, G, chk, ["lang"]).awaitTermination()
+    assert view() == recompute() == {"py": 2, "go": 1}
+
+    # stage 2 (stream was stopped in between): group-move + delete
+    A.merge_cdc(ev([("r", "a", "c2", "go", "x2", None, "update", 4)]), epoch=1)
+    A.merge_cdc(ev([("r", "b", None, None, None, None, "delete", 5)]), epoch=2)
+    agg_view_stream(spark, A, G, chk, ["lang"]).awaitTermination()
+    assert view() == recompute() == {"go": 2}  # py group reached n=0 -> deleted
+
+    # fresh checkpoint incarnation: the file stream replays every delta
+    # file, but sync_agg's watermark (dst properties) already covers
+    # them — additive deltas must NOT re-apply
+    agg_view_stream(spark, A, G, str(tmp_path / "chk_g2"), ["lang"]).awaitTermination()
+    assert view() == {"go": 2}
+
+
 def test_read_change_stream_requires_mor(spark, repos_schema, tmp_path):
     cow = LakeTable.create(spark, str(tmp_path / "cow"), repos_schema, ["repo", "path"])
     with pytest.raises(ValueError, match="merge-on-read"):

@@ -487,6 +487,39 @@ def test_sort_cols_cluster_within_bucket_files(spark, tmp_path):
         assert ts == sorted(ts)
 
 
+def test_target_file_rows_bounds_files_per_bucket(spark, tmp_path):
+    """target_file_rows splits a bucket rewrite into size-bounded
+    files (maxRecordsPerFile) — every read path globs the bucket DIR,
+    so multi-file buckets read back identically, and the cap survives
+    compaction (the rewrite that would otherwise re-monolith)."""
+    import glob
+
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=2,
+        write_mode="mor", properties={"target_file_rows": 300},
+    )
+    rows = [(f"k{i}", i, "insert", i + 1) for i in range(4000)]
+    t.merge_cdc(spark.createDataFrame(rows, "k string, v int, op string, seq long"),
+                epoch=0)
+    t.compact()
+    by_bucket = {}
+    for f in glob.glob(str(tmp_path / "t" / "data" / "v*" / "_b=*" / "*.parquet")):
+        by_bucket.setdefault(os.path.dirname(f), []).append(f)
+    live = {b: fs for b, fs in by_bucket.items()
+            if any(e["path"] == b for e in t.manifest()["buckets"].values())}
+    assert live and all(len(fs) > 1 for fs in live.values()), (
+        "expected multiple capped files per live bucket dir")
+    import pyarrow.parquet as pq
+
+    for fs in live.values():
+        assert all(pq.read_metadata(f).num_rows <= 300 for f in fs)
+    assert t.read().count() == 4000
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["k7"] == 7 and len(got) == 4000
+
+
 def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     """clone() copies only metadata (no data dirs under the clone
     root), reads identically, then diverges copy-on-write: a merge
