@@ -489,16 +489,33 @@ class LakeTable:
         safe = re.sub(r"[^A-Za-z0-9_.:-]", "_", name)
         return f"{safe}.json"
 
-    def pin(self, name: str, version: int | None = None) -> None:
+    def pin(self, name: str, version: int | None = None, onward: bool = False) -> None:
         """Pin ``version`` (default: current) against expiry under a
         consumer name. Re-pinning the same name moves the pin (the
-        consumer's retention watermark advances with its sync)."""
+        consumer's retention watermark advances with its sync).
+
+        ``onward=False`` (default) retains exactly the pinned version
+        — what batch incremental consumers need: ``changes(v_from)``
+        reads only the ENDPOINT manifests plus v_from's snapshot for
+        preimages (``_cv`` stamps make intermediate manifests
+        irrelevant), so clones and syncs never over-retain.
+
+        ``onward=True`` retains the pinned version AND every version
+        after it — the changelog-consumer semantic: a streaming
+        change-feed tail (streaming/feed) consumes the per-commit
+        delta FILES of every intermediate version, which only their
+        own manifests reference, so a point pin would let
+        ``expire_versions`` reclaim files a stopped consumer has not
+        read yet. An onward pin freezes the reclamation horizon at
+        the consumer's progress; advance it as the consumer catches
+        up, unpin to decommission (Kafka consumer-group offset /
+        Delta CDF retention analog)."""
         v = self.current_version() if version is None else int(version)
         self.manifest(v)  # must exist
         os.makedirs(self._pins_dir, exist_ok=True)
         _atomic_write(
             os.path.join(self._pins_dir, self._pin_file(name)),
-            json.dumps({"name": name, "version": v}),
+            json.dumps({"name": name, "version": v, "onward": bool(onward)}),
         )
 
     def unpin(self, name: str) -> None:
@@ -507,16 +524,32 @@ class LakeTable:
         except FileNotFoundError:
             pass
 
-    def pins(self) -> dict[str, int]:
+    def _pin_records(self) -> list[dict]:
         if not os.path.isdir(self._pins_dir):
-            return {}
-        out = {}
+            return []
+        out = []
         for fn in os.listdir(self._pins_dir):
             if fn.endswith(".json"):
                 with open(os.path.join(self._pins_dir, fn)) as f:
-                    d = json.load(f)
-                out[d["name"]] = int(d["version"])
+                    out.append(json.load(f))
         return out
+
+    def pins(self) -> dict[str, int]:
+        return {d["name"]: int(d["version"]) for d in self._pin_records()}
+
+    def oldest_version(self) -> int:
+        """The oldest version whose manifest is still retained — the
+        table's time-travel / change-feed horizon."""
+        vs = []
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    vs.append(int(fn[1:-5]))
+                except ValueError:
+                    continue
+        if not vs:
+            raise FileNotFoundError(f"no manifests under {self._meta_dir}")
+        return min(vs)
 
     def resolve_tag(self, name: str) -> int:
         t = self.tags()
@@ -1729,7 +1762,12 @@ class LakeTable:
         live: set[str] = set()
         keep_vs = set(range(max(0, cur - keep_last + 1), cur + 1))
         keep_vs.update(int(v) for v in self.tags().values())
-        keep_vs.update(int(v) for v in self.pins().values())
+        for p in self._pin_records():
+            keep_vs.add(int(p["version"]))
+            if p.get("onward"):
+                # changelog-consumer watermark: everything from the
+                # pin forward stays reclaimable-never (see pin())
+                keep_vs.update(range(int(p["version"]), cur + 1))
         referenced: set[str] = set()  # dirs referenced by ANY manifest on disk
 
         def _dirs_of(m: dict, into: set) -> None:

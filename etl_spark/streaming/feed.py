@@ -34,12 +34,19 @@ irrelevant by construction (seq resolution).
 
 Retention contract: delta FILES must outlive the slowest stream
 consumer's lag. compact() only rewrites manifests — files stay on
-disk until ``expire_versions`` reclaims them — so run expiry with
-``keep_last`` covering the consumer lag, or hold a retention pin
-(LakeTable.pin) for long-stopped consumers, the same discipline the
-batch ``sync`` consumers already follow. A consumer that lost files
-to expiry restarts with a fresh checkpoint and bootstraps from
-``changes_since(0)``.
+disk until ``expire_versions`` reclaims them. ``mirror_stream``
+holds an ONWARD retention pin on the source by default
+(``hold_pin``): unlike the point pins batch ``sync`` consumers hold
+(endpoint manifests suffice there), an onward pin retains every
+version from the consumer's progress forward, because intermediate
+delta files are referenced only by their own manifests. Advance it
+after completed drains (``advance_feed_pin``), unpin on
+decommission. A pinless consumer falls back to keep_last covering
+the lag; one that still lost files restarts with a fresh checkpoint
+and bootstraps from ``changes_since(0)``. ``agg_view_stream`` needs
+no onward pin: it never reads delta file CONTENTS (sync_agg derives
+everything from endpoint manifests and holds its own point pin), so
+reclaimed-unread files cost nothing.
 
 COW tables write no deltas (each merge rewrites dirty buckets in
 place), so there is no per-commit change file to tail — use MOR for
@@ -97,6 +104,30 @@ def read_change_stream(
     )
 
 
+def feed_pin_name(dst: LakeTable, checkpoint_dir: str) -> str:
+    """The retention-pin name a mirror consumer holds on its source:
+    destination + checkpoint identity, matching the epoch fence."""
+    import hashlib
+
+    return (
+        f"feed:{os.path.basename(os.path.abspath(dst.root))}:"
+        f"{hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:10]}"
+    )
+
+
+def advance_feed_pin(
+    src: LakeTable, dst: LakeTable, checkpoint_dir: str, version: int | None = None
+) -> None:
+    """Advance the mirror's retention pin on ``src`` to ``version``
+    (default: src's current) — call after a COMPLETED drain
+    (``q.awaitTermination()`` returned on an availableNow query):
+    every delta file listed at drain start has then been processed,
+    so reclamation may move up to where the consumer actually is.
+    Never advance past a drain still in flight. Decommission a
+    mirror with ``src.unpin(feed_pin_name(dst, checkpoint_dir))``."""
+    src.pin(feed_pin_name(dst, checkpoint_dir), version, onward=True)
+
+
 def mirror_stream(
     spark: SparkSession,
     src: LakeTable,
@@ -105,6 +136,7 @@ def mirror_stream(
     transform=None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    hold_pin: bool = True,
 ):
     """Tail ``src``'s change feed into ``dst`` as a streaming query —
     the streaming-native form of ``incremental.sync``.
@@ -123,12 +155,29 @@ def mirror_stream(
     Returns the StreamingQuery; with ``available_now`` the caller
     drains the current backlog via ``q.awaitTermination()`` and the
     query stops itself — kill/resume mid-backlog is safe at any point
-    (the test does exactly that)."""
+    (the test does exactly that).
+
+    ``hold_pin`` (default on): hold an ONWARD retention pin on
+    ``src`` under this consumer's identity, placed at src's oldest
+    retained version on first incarnation — every delta file this
+    consumer has not read yet then survives ``expire_versions``
+    however aggressive keep_last is, including while the consumer is
+    STOPPED. The pin is deliberately never auto-advanced mid-stream
+    (files pending inside a backlog have no version ordering the file
+    source guarantees); advance it after completed drains with
+    ``advance_feed_pin`` and remove it on decommission with
+    ``src.unpin(feed_pin_name(dst, checkpoint_dir))``. A consumer
+    running without the pin falls back to the keep_last-covers-lag
+    discipline and the fresh-checkpoint bootstrap documented above."""
     import hashlib
 
     feed = read_change_stream(spark, src, max_files_per_trigger=max_files_per_trigger)
     if transform is not None:
         feed = transform(feed)
+    if hold_pin:
+        name = feed_pin_name(dst, checkpoint_dir)
+        if name not in src.pins():  # never move an existing pin backward
+            src.pin(name, src.oldest_version(), onward=True)
     fence = hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
     def _apply(batch: DataFrame, batch_id: int) -> None:

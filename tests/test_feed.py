@@ -127,6 +127,48 @@ def test_feed_fresh_checkpoint_incarnation_is_idempotent(spark, repos_schema, tm
     assert len(B.committed_epochs()) > epochs1
 
 
+def test_feed_pin_protects_stopped_consumer_from_expiry(spark, repos_schema, tmp_path):
+    """A stopped mirror's unread delta files survive aggressive
+    expire_versions: mirror_stream holds an onward pin on the source
+    (placed at the oldest retained version on first incarnation, never
+    auto-advanced mid-stream). Drain stage 1, stop; commit more, run
+    expire with keep_last=1; resume — the mirror still converges
+    because every unread delta file was retained. After
+    advance_feed_pin + expire, reclamation catches up behind it."""
+    from etl_spark.streaming.feed import advance_feed_pin, feed_pin_name
+
+    wal = str(tmp_path / "wal")
+    chk_w, chk_m = str(tmp_path / "chk_w"), str(tmp_path / "chk_m")
+    _append_wal(spark, wal, 0, 2000, 1000)
+    A = _mor_table(spark, str(tmp_path / "A"), n_buckets=4)
+    B = LakeTable.create(spark, str(tmp_path / "B"), repos_schema,
+                         ["repo", "path"], n_buckets=4)
+    CdcStream(A, chk_w).run_to_completion(
+        spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=1)
+    q = mirror_stream(spark, A, B, chk_m, max_files_per_trigger=1)
+    q.awaitTermination()
+    assert feed_pin_name(B, chk_m) in A.pins()
+
+    # consumer stopped; source keeps committing and expiring hard
+    _append_wal(spark, wal, 2000, 6000, 1000)
+    CdcStream(A, chk_w).run_to_completion(
+        spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=1)
+    A.expire_versions(keep_last=1, orphan_grace_sec=0)
+
+    # resume: unread delta files must still exist -> B == oracle
+    q = mirror_stream(spark, A, B, chk_m, max_files_per_trigger=2)
+    q.awaitTermination()
+    oracle = oracle_final_state(
+        generate_events(spark, N).toPandas())[COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(B), oracle, check_dtype=False)
+
+    # drain completed -> advance the pin; expiry now reclaims behind it
+    old_horizon = A.oldest_version()
+    advance_feed_pin(A, B, chk_m)
+    A.expire_versions(keep_last=1, orphan_grace_sec=0)
+    assert A.oldest_version() > old_horizon
+
+
 def test_agg_view_stream_maintains_group_counts(spark, tmp_path):
     """Streaming-maintained aggregate view: G = GROUP BY lang (n) over
     A's live state. Commits include inserts, an update that MOVES a

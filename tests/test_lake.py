@@ -487,6 +487,50 @@ def test_sort_cols_cluster_within_bucket_files(spark, tmp_path):
         assert ts == sorted(ts)
 
 
+def test_onward_pin_retains_version_range(spark, tmp_path):
+    """A point pin retains exactly its version; an ONWARD pin retains
+    its version and everything after — the intermediate delta files a
+    streaming change-feed consumer still has to read (only their own
+    manifests reference them, so point pins let expiry reclaim them)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), _schema(), ["k"],
+                         n_buckets=2, write_mode="mor")
+    for i in range(6):
+        t.merge_cdc(_src(spark, [(f"k{i}", i, "insert", i + 1)]), epoch=i)
+    assert t.current_version() == 6
+
+    # point pin at v2: expire keeps v2 + last 2, reclaims v3/v4
+    t.pin("batch-consumer", 2)
+    t.expire_versions(keep_last=2, orphan_grace_sec=0)
+    retained = set()
+    for v in range(1, 7):
+        try:
+            t.manifest(v)
+            retained.add(v)
+        except Exception:
+            pass
+    assert retained == {2, 5, 6}
+
+    t2 = LakeTable.create(spark, str(tmp_path / "t2"), _schema(), ["k"],
+                          n_buckets=2, write_mode="mor")
+    for i in range(6):
+        t2.merge_cdc(_src(spark, [(f"k{i}", i, "insert", i + 1)]), epoch=i)
+    t2.pin("stream-consumer", 2, onward=True)
+    t2.expire_versions(keep_last=2, orphan_grace_sec=0)
+    for v in range(2, 7):
+        m = t2.manifest(v)  # all retained
+        for d in m.get("deltas", []):
+            for ent in d["buckets"].values():
+                assert os.path.exists(ent["path"]), f"v{v} delta reclaimed"
+    with pytest.raises(Exception):
+        t2.manifest(1)
+    # advancing the pin re-enables reclamation behind it
+    t2.pin("stream-consumer", 5, onward=True)
+    t2.expire_versions(keep_last=2, orphan_grace_sec=0)
+    with pytest.raises(Exception):
+        t2.manifest(3)
+    assert t2.oldest_version() == 5
+
+
 def test_target_file_rows_bounds_files_per_bucket(spark, tmp_path):
     """target_file_rows splits a bucket rewrite into size-bounded
     files (maxRecordsPerFile) — every read path globs the bucket DIR,
