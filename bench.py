@@ -418,15 +418,26 @@ def skew_bench(spark, root: str, n_events: int, hot_pct: int = 50) -> dict:
         .withColumn("path", F.when(hot, F.lit("src/hot/file.rs")).otherwise(F.col("path")))
     )
     out = {"hot_pct": hot_pct, "events": n_events}
-    for name, df, salted in [
-        ("uniform_fused", ev, False),
-        ("skewed_fused", skewed, False),
-        ("skewed_salted", skewed, True),
+    # auto rows exercise the decide_salt policy end-to-end: at 50% of
+    # n on one key the estimate stays under the default 2M-row reducer
+    # threshold (auto must MATCH fused, paying only the keys-only
+    # probe); the "forced" row drops the threshold under the hot key's
+    # count so the policy demonstrably flips to the salted plan
+    for name, df, salted, kw in [
+        ("uniform_fused", ev, False, {}),
+        ("uniform_auto", ev, "auto", {}),
+        ("skewed_fused", skewed, False, {}),
+        ("skewed_auto", skewed, "auto", {}),
+        ("skewed_auto_forced", skewed, "auto",
+         {"salt_threshold": max(10_000, n_events // 20)}),
+        ("skewed_salted", skewed, True, {}),
     ]:
         tbl = _mk_table(spark, root, f"skew_{name}")
         t0 = time.time()
-        R.apply_batch(tbl, df, epoch=0, salted=salted)
+        res = R.apply_batch(tbl, df, epoch=0, salted=salted, **kw)
         out[f"{name}_sec"] = round(time.time() - t0, 2)
+        if res.get("salt_decision") is not None:
+            out[f"{name}_decision"] = res["salt_decision"]
     return out
 
 
