@@ -1817,6 +1817,107 @@ GROUP BY event_type
 """
 
 
+def q_join_view(spark, sf_dir):
+    """Incrementally maintained JOIN view (lake.incremental.sync_join
+    — the enrichment completion of the sync family): dst = orders
+    LEFT JOIN customer, maintained through three syncs that each
+    exercise a different increment shape — bootstrap (both sources
+    fresh), fact-only (late orders + deletes; O(changed keys), dim
+    untouched), dim-only (segment updates + customer deletes; affected
+    orders found by broadcast semi-join and re-enriched, deletes going
+    NULL per left-join semantics). Must equal the full join of the two
+    final states. Reference contract: a derived step re-running when
+    either upstream dirties (etl/steps/__init__.py:419-435)."""
+    def build():
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_spark.lake.incremental import join_view_schema, sync_join
+        from etl_spark.lake.table import LakeTable
+
+        orders = _t(spark, sf_dir, "orders")
+        cust = _t(spark, sf_dir, "customer")
+        root = tempfile.mkdtemp(prefix="lakejv_", dir=_scratch_dir())
+        fact_schema = T.StructType([
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField("o_custkey", T.LongType(), True),
+            T.StructField("total_cents", T.LongType(), True),
+            T.StructField("o_orderstatus", T.StringType(), True),
+        ])
+        dim_schema = T.StructType([
+            T.StructField("c_custkey", T.LongType(), True),
+            T.StructField("c_name", T.StringType(), True),
+            T.StructField("c_mktsegment", T.StringType(), True),
+        ])
+        fact = LakeTable.create(spark, root + "/fact", fact_schema,
+                                ["o_orderkey"], n_buckets=8)
+        dim = LakeTable.create(spark, root + "/dim", dim_schema,
+                               ["c_custkey"], n_buckets=8)
+        dst = LakeTable.create(spark, root + "/jv", join_view_schema(fact, dim),
+                               ["o_orderkey"], n_buckets=8)
+        fsrc = orders.select(
+            "o_orderkey", "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            .alias("total_cents"),
+            "o_orderstatus",
+            F.lit("upsert").alias("op"), F.col("o_orderkey").alias("seq"),
+        )
+        dsrc = cust.select(
+            "c_custkey", "c_name", "c_mktsegment",
+            F.lit("upsert").alias("op"), F.col("c_custkey").alias("seq"),
+        )
+        mid = int(orders.agg(F.max("o_orderkey")).first()[0] or 0) // 2
+        # bootstrap: full dim + first half of the fact
+        dim.merge_cdc(dsrc, epoch=0)
+        fact.merge_cdc(fsrc.filter(F.col("o_orderkey") <= mid), epoch=0)
+        sync_join(fact, dim, dst, ["o_custkey"])
+        # fact-only round: the late half lands, some orders cancel
+        fact.merge_cdc(fsrc.filter(F.col("o_orderkey") > mid), epoch=1)
+        fact.merge_cdc(
+            fsrc.filter(F.col("o_orderkey") % 13 == 0)
+            .withColumn("op", F.lit("delete"))
+            .withColumn("seq", F.col("seq") + F.lit(100_000_000)),
+            epoch=2,
+        )
+        sync_join(fact, dim, dst, ["o_custkey"])
+        # dim-only round: segment reclassification + customer churn
+        dim.merge_cdc(
+            dsrc.filter(F.col("c_custkey") % 10 == 0)
+            .withColumn("c_mktsegment", F.lit("VIP"))
+            .withColumn("seq", F.col("seq") + F.lit(10_000_000)),
+            epoch=1,
+        )
+        dim.merge_cdc(
+            dsrc.filter(F.col("c_custkey") % 17 == 0)
+            .withColumn("op", F.lit("delete"))
+            .withColumn("seq", F.col("seq") + F.lit(20_000_000)),
+            epoch=2,
+        )
+        sync_join(fact, dim, dst, ["o_custkey"])
+        return dst
+
+    dst = _cached_fixture(spark, ("join_view", os.path.abspath(sf_dir)), build)
+    return dst.read().select(
+        "o_orderkey", "o_custkey", "total_cents", "o_orderstatus",
+        "c_name", "c_mktsegment",
+    )
+
+
+_SQL_JOIN_VIEW = """
+WITH cust AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 10 = 0 THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 17 <> 0
+)
+SELECT o.o_orderkey, o.o_custkey,
+       FLOOR(o.o_totalprice * 100 + 0.5)::BIGINT AS total_cents,
+       o.o_orderstatus, c.c_name, c.c_mktsegment
+FROM orders o LEFT JOIN cust c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 13 <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus cleaning: line-level dedup, contamination, PII scrub, mixing
 # ---------------------------------------------------------------------------
@@ -2322,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backport_events": q_backport_events,
         "incremental_sync": q_incremental_sync,
         "agg_view": q_agg_view,
+        "join_view": q_join_view,
         "line_dedup": q_line_dedup,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
@@ -2574,6 +2676,7 @@ FROM documents
         "backport_events": _SQL_BACKPORT,
         "incremental_sync": _SQL_INCREMENTAL_SYNC,
         "agg_view": _SQL_AGG_VIEW,
+        "join_view": _SQL_JOIN_VIEW,
         "line_dedup": _SQL_LINE_DEDUP,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,

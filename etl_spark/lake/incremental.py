@@ -140,6 +140,173 @@ def _sync_once(src, dst, transform) -> dict:
     return {**stats, "skipped": False, "from_version": v_from, "to_version": v_to}
 
 
+FACT_PROP = "sync_fact_version"
+DIM_PROP = "sync_dim_version"
+
+
+def join_view_schema(fact: LakeTable, dim: LakeTable, dim_cols: list[str] | None = None):
+    """The dst schema for ``sync_join``: fact's user columns followed
+    by the enrichment columns pulled from dim. Pass to
+    ``LakeTable.create`` keyed by fact's key columns."""
+    from pyspark.sql import types as T
+
+    internal = {fact.seq_col, "_deleted", "_cv"}
+    fact_fields = [f for f in fact.schema().fields if f.name not in internal]
+    dcols = dim_cols if dim_cols is not None else [
+        c for c in dim.schema().names
+        if c not in dim.key_cols and c not in {dim.seq_col, "_deleted", "_cv"}
+    ]
+    dschema = dim.schema()
+    return T.StructType(
+        fact_fields
+        + [T.StructField(c, dschema[c].dataType, True) for c in dcols]
+    )
+
+
+def sync_join(
+    fact: LakeTable,
+    dim: LakeTable,
+    dst: LakeTable,
+    fk_cols: list[str],
+    dim_cols: list[str] | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """Incrementally maintained JOIN view: keep ``dst`` =
+    ``fact LEFT JOIN dim ON fact.fk_cols = dim.key_cols`` (projecting
+    fact's user columns + ``dim_cols``) as both sources evolve — the
+    enrichment-view completion of the incremental family (``sync`` =
+    identity/projection, ``sync_agg`` = aggregate, this = join). The
+    reference's analog is a derived dataset step re-running when either
+    upstream's checksum dirties (etl/steps/__init__.py:419-435), here
+    re-expressed as two change feeds driving one O(changed-keys) merge.
+
+    Maintenance per sync, two watermarks (one per source, committed in
+    the SAME atomic manifest write as the data):
+
+    - fact changed: its net change feed re-enriches against dim's
+      CURRENT state — upserts join dim (bucket-pruned read: only the
+      dim buckets the changed rows' foreign keys hash to are scanned),
+      deletes propagate as deletes. O(changed fact keys).
+    - dim changed: the affected fact rows (foreign key IN the changed
+      dim keys — a broadcast SEMI join against the fact snapshot: no
+      fact shuffle, no payload movement beyond matching rows) are
+      re-enriched, including dim DELETES (left-join semantics: the
+      enrichment columns go NULL). Costs one pruned fact scan, paid
+      only on syncs where dim actually moved — the star-schema regime
+      (hot facts, cold dims) never pays it.
+
+    Overlapping keys (fact row changed AND its dim row changed) are
+    computed identically by both branches (both join dim at the same
+    pinned version), deduplicated before the merge. All rows are
+    stamped with one strictly-monotone synthetic seq derived from the
+    (fact, dim) version pair, so re-enrichments always beat the
+    previous sync's rows in dst's latest-wins resolution; ``dst`` must
+    therefore be maintained exclusively through this sync (same
+    exclusivity contract as ``sync_agg``).
+
+    NULL foreign keys never match (plain SQL equality, matching a
+    LEFT JOIN oracle); fk_cols are positional against dim.key_cols.
+    Exactly-once: epoch fence ``joinsync_v{vf}_{vd}`` + atomic
+    watermark pair; conflicts recompute the whole sync."""
+    return _with_conflict_retry(
+        lambda: _sync_join_once(fact, dim, dst, fk_cols, dim_cols), max_retries
+    )
+
+
+def _sync_join_once(fact, dim, dst, fk_cols, dim_cols) -> dict:
+    import functools as _ft
+
+    dim_keys = dim.key_cols
+    if len(fk_cols) != len(dim_keys):
+        raise ValueError(f"fk_cols {fk_cols} must align with dim key_cols {dim_keys}")
+    if dst.key_cols != fact.key_cols:
+        raise ValueError(
+            f"dst must be keyed by fact's keys {fact.key_cols}, got {dst.key_cols}"
+        )
+    vf_from = int(dst.properties.get(FACT_PROP, 0))
+    vd_from = int(dst.properties.get(DIM_PROP, 0))
+    vf_to, vd_to = fact.current_version(), dim.current_version()
+    if vf_to <= vf_from and vd_to <= vd_from:
+        return {"skipped": True, "fact_version": vf_to, "dim_version": vd_to}
+    if vd_to >= 1_000_000:
+        raise ValueError("dim version exceeds seq-stamp range")  # pragma: no cover
+
+    internal = {fact.seq_col, "_deleted", "_cv"}
+    fact_user = [c for c in fact.schema().names if c not in internal]
+    dschema = dim.schema()
+    if dim_cols is None:
+        dim_cols = [c for c in dschema.names
+                    if c not in dim_keys and c not in {dim.seq_col, "_deleted", "_cv"}]
+    clash = set(dim_cols) & set(fact_user)
+    if clash:
+        raise ValueError(f"dim_cols collide with fact columns: {sorted(clash)}")
+
+    def _enrich(rows: DataFrame) -> DataFrame:
+        """rows (fact user cols) LEFT JOIN dim@vd_to, bucket-pruned:
+        one tiny job maps the rows' fk values through dim's exact
+        bucket hash (bounded by dim.n_buckets ids), so only the dim
+        buckets actually referenced are scanned."""
+        probe = rows.select(
+            *[F.col(f).alias(k) for f, k in zip(fk_cols, dim_keys)]
+        )
+        bks = {
+            int(r["b"])
+            for r in probe.select(dim._bucket_expr(dim_keys).alias("b"))
+            .distinct().collect()
+        }
+        dcur = dim.read(version=vd_to, buckets=bks).select(*dim_keys, *dim_cols)
+        f_, d_ = rows.alias("f"), dcur.alias("d")
+        cond = _ft.reduce(
+            lambda a, b: a & b,
+            [F.col(f"f.{fc}") == F.col(f"d.{dk}") for fc, dk in zip(fk_cols, dim_keys)],
+        )
+        return f_.join(d_, cond, "left").select(
+            *[F.col(f"f.{c}") for c in fact_user],
+            *[F.col(f"d.{c}") for c in dim_cols],
+        )
+
+    ups_parts, del_part = [], None
+    if vf_to > vf_from:
+        fch = change_feed(fact, vf_from, vf_to)
+        ups_parts.append(_enrich(fch.filter(F.col("op") == "upsert").select(*fact_user)))
+        del_part = fch.filter(F.col("op") == "delete").select(
+            *fact_user,
+            *[F.lit(None).cast(dschema[c].dataType).alias(c) for c in dim_cols],
+        )
+    if vd_to > vd_from:
+        dch = dim.changes_since(vd_from, vd_to)  # includes dim deletes
+        probe = dch.select(
+            *[F.col(k).alias(f) for k, f in zip(dim_keys, fk_cols)]
+        ).distinct()
+        affected = fact.read(version=vf_to).select(*fact_user).join(
+            F.broadcast(probe), fk_cols, "left_semi"
+        )
+        ups_parts.append(_enrich(affected))
+
+    ups = ups_parts[0]
+    for p in ups_parts[1:]:
+        ups = ups.unionByName(p)
+    # overlap between branches is content-identical (both joined
+    # dim@vd_to) — keep one row per key
+    ups = ups.dropDuplicates(dst.key_cols).withColumn("op", F.lit("upsert"))
+    feed = ups if del_part is None else ups.unionByName(
+        del_part.withColumn("op", F.lit("delete"))
+    )
+    stamp = vf_to * 1_000_000 + vd_to  # strictly monotone across syncs
+    feed = feed.withColumn("seq", F.lit(stamp).cast("long"))
+    stats = dst.merge_cdc(
+        feed,
+        epoch=f"joinsync_v{vf_to}_{vd_to}",
+        extra_manifest={"properties": {
+            **dst.properties, FACT_PROP: vf_to, DIM_PROP: vd_to,
+        }},
+    )
+    _advance_pin(fact, dst, vf_to)
+    _advance_pin(dim, dst, vd_to)
+    return {**stats, "skipped": False,
+            "fact_version": vf_to, "dim_version": vd_to}
+
+
 def sync_agg(
     src: LakeTable,
     dst: LakeTable,

@@ -674,3 +674,114 @@ def test_changes_since_zero_on_clone(spark, tmp_path):
     dst = LakeTable.create(spark, str(tmp_path / "d"), _schema(), ["k"], n_buckets=2)
     sync(c, dst)
     assert frames_equal(dst.read(), c.read(), keys=["k"])
+
+
+# ---------- sync_join: incrementally maintained join view ----------
+
+
+def _jv_fact(spark, tmp_path, name="jvfact"):
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), True),
+        T.StructField("fk", T.StringType(), True),
+        T.StructField("val", T.LongType(), True),
+    ])
+    return LakeTable.create(spark, str(tmp_path / name), schema, ["k"], n_buckets=4)
+
+
+def _jv_dim(spark, tmp_path, name="jvdim"):
+    schema = T.StructType([
+        T.StructField("dk", T.StringType(), True),
+        T.StructField("dname", T.StringType(), True),
+    ])
+    return LakeTable.create(spark, str(tmp_path / name), schema, ["dk"], n_buckets=4)
+
+
+def _jv_rows(spark, rows, ddl):
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_sync_join_matches_full_recompute(spark, tmp_path):
+    from etl_spark.lake.incremental import (
+        DIM_PROP, FACT_PROP, join_view_schema, sync_join,
+    )
+
+    fact = _jv_fact(spark, tmp_path)
+    dim = _jv_dim(spark, tmp_path)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "jv"), join_view_schema(fact, dim), ["k"], n_buckets=4
+    )
+
+    def check():
+        want = {
+            (r["k"], r["fk"], r["val"], r["dname"])
+            for r in fact.read().join(dim.read().withColumnRenamed("dk", "fk"),
+                                      ["fk"], "left").collect()
+        }
+        got = {(r["k"], r["fk"], r["val"], r["dname"]) for r in dst.read().collect()}
+        assert got == want, (got, want)
+
+    fddl = "k string, fk string, val long, op string, seq long"
+    dddl = "dk string, dname string, op string, seq long"
+    dim.merge_cdc(_jv_rows(spark, [("d1", "one", "insert", 1), ("d2", "two", "insert", 2)], dddl))
+    fact.merge_cdc(_jv_rows(spark, [
+        ("a", "d1", 10, "insert", 1), ("b", "d2", 5, "insert", 2),
+        ("c", "d9", 7, "insert", 3),   # dangling fk -> NULL enrichment
+        ("n", None, 1, "insert", 4),   # NULL fk -> NULL enrichment
+    ], fddl))
+    s = sync_join(fact, dim, dst, ["fk"])
+    assert s["skipped"] is False
+    check()
+    assert {r["dname"] for r in dst.read().filter(F.col("k").isin("c", "n")).collect()} == {None}
+
+    # fact-only round: update moves a key's fk, delete, insert
+    fact.merge_cdc(_jv_rows(spark, [
+        ("a", "d2", 11, "update", 5),
+        ("b", None, None, "delete", 6),
+        ("e", "d1", 3, "insert", 7),
+    ], fddl))
+    sync_join(fact, dim, dst, ["fk"])
+    check()
+
+    # dim-only round: rename d2, DELETE d1 (left-join semantics: NULLs),
+    # insert d9 (heals the dangling fk on 'c')
+    dim.merge_cdc(_jv_rows(spark, [
+        ("d2", "TWO", "update", 3),
+        ("d1", None, "delete", 4),
+        ("d9", "nine", "insert", 5),
+    ], dddl))
+    sync_join(fact, dim, dst, ["fk"])
+    check()
+    assert dst.read().filter(F.col("k") == "c").first()["dname"] == "nine"
+    assert dst.read().filter(F.col("k") == "e").first()["dname"] is None
+
+    # both move in one sync (overlap: 'a' changes AND its dim changes)
+    fact.merge_cdc(_jv_rows(spark, [("a", "d2", 12, "update", 8)], fddl))
+    dim.merge_cdc(_jv_rows(spark, [("d2", "deux", "update", 6)], dddl))
+    sync_join(fact, dim, dst, ["fk"])
+    check()
+
+    # no-op rerun skips; both watermarks rode the atomic commit
+    assert sync_join(fact, dim, dst, ["fk"])["skipped"] is True
+    assert int(dst.properties[FACT_PROP]) == fact.current_version()
+    assert int(dst.properties[DIM_PROP]) == dim.current_version()
+
+
+def test_sync_join_validates(spark, tmp_path):
+    from etl_spark.lake.incremental import join_view_schema, sync_join
+
+    fact = _jv_fact(spark, tmp_path)
+    dim = _jv_dim(spark, tmp_path)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "jv"), join_view_schema(fact, dim), ["k"], n_buckets=4
+    )
+    with pytest.raises(ValueError, match="align"):
+        sync_join(fact, dim, dst, ["fk", "extra"])
+    bad = LakeTable.create(
+        spark, str(tmp_path / "bad"), join_view_schema(fact, dim), ["fk"], n_buckets=4
+    )
+    fact.merge_cdc(_jv_rows(spark, [("a", "d1", 1, "insert", 1)],
+                            "k string, fk string, val long, op string, seq long"))
+    with pytest.raises(ValueError, match="keyed"):
+        sync_join(fact, dim, bad, ["fk"])
+    with pytest.raises(ValueError, match="collide"):
+        sync_join(fact, dim, dst, ["fk"], dim_cols=["val"])
