@@ -1904,6 +1904,80 @@ def q_join_view(spark, sf_dir):
     )
 
 
+def q_sql_surface(spark, sf_dir):
+    """The catalog's ANSI-SQL surface (LakeCatalog.sql): two lake
+    tables built via CDC merges — nation evolved over three epochs
+    (bootstrap, comment updates, deletes) — then queried with plain
+    SQL (join + conditional agg) exactly as a reference user queries
+    the catalog-of-tables (lib/catalog/owid/catalog/catalogs.py:
+    112-153). The view reflects latest-wins state at call time."""
+    def build():
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_spark.lake.table import LakeCatalog
+
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        root = tempfile.mkdtemp(prefix="lakesql_", dir=_scratch_dir())
+        cat = LakeCatalog(spark, root)
+        n_schema = T.StructType([
+            T.StructField("n_nationkey", T.LongType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.LongType(), True),
+        ])
+        r_schema = T.StructType([
+            T.StructField("r_regionkey", T.LongType(), True),
+            T.StructField("r_name", T.StringType(), True),
+        ])
+        nt = cat.create_table("nations_t", n_schema, ["n_nationkey"], n_buckets=4)
+        rt = cat.create_table("regions_t", r_schema, ["r_regionkey"], n_buckets=2)
+        nsrc = nation.select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.lit("upsert").alias("op"), F.col("n_nationkey").alias("seq"),
+        )
+        rt.merge_cdc(region.select(
+            "r_regionkey", "r_name",
+            F.lit("upsert").alias("op"), F.col("r_regionkey").alias("seq"),
+        ), epoch=0)
+        nt.merge_cdc(nsrc, epoch=0)
+        nt.merge_cdc(
+            nsrc.filter(F.col("n_nationkey") % 5 == 0)
+            .withColumn("n_name", F.concat(F.col("n_name"), F.lit("*")))
+            .withColumn("seq", F.col("seq") + F.lit(1000)),
+            epoch=1,
+        )
+        nt.merge_cdc(
+            nsrc.filter(F.col("n_nationkey") % 7 == 3)
+            .withColumn("op", F.lit("delete"))
+            .withColumn("seq", F.col("seq") + F.lit(2000)),
+            epoch=2,
+        )
+        return cat
+
+    cat = _cached_fixture(spark, ("sql_surface", os.path.abspath(sf_dir)), build)
+    return cat.sql("""
+        SELECT r.r_name, COUNT(*) AS n_nations,
+               SUM(CASE WHEN n.n_name LIKE '%*' THEN 1 ELSE 0 END) AS n_updated
+        FROM nations_t n JOIN regions_t r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """)
+
+
+_SQL_SQL_SURFACE = """
+WITH nat AS (
+  SELECT n_nationkey, n_regionkey,
+         CASE WHEN n_nationkey % 5 = 0 THEN n_name || '*' ELSE n_name END AS n_name
+  FROM nation WHERE n_nationkey % 7 <> 3
+)
+SELECT r.r_name, COUNT(*) AS n_nations,
+       SUM(CASE WHEN n.n_name LIKE '%*' THEN 1 ELSE 0 END)::BIGINT AS n_updated
+FROM nat n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 _SQL_JOIN_VIEW = """
 WITH cust AS (
   SELECT c_custkey, c_name,
@@ -2424,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_sync": q_incremental_sync,
         "agg_view": q_agg_view,
         "join_view": q_join_view,
+        "sql_surface": q_sql_surface,
         "line_dedup": q_line_dedup,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
@@ -2677,6 +2752,7 @@ FROM documents
         "incremental_sync": _SQL_INCREMENTAL_SYNC,
         "agg_view": _SQL_AGG_VIEW,
         "join_view": _SQL_JOIN_VIEW,
+        "sql_surface": _SQL_SQL_SURFACE,
         "line_dedup": _SQL_LINE_DEDUP,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,

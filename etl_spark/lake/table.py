@@ -443,6 +443,17 @@ class LakeTable:
         probe = lit_df.select(*kcols)
         return df.join(F.broadcast(probe), kcols, "left_semi")
 
+    def create_view(self, name: str | None = None, **read_kw) -> str:
+        """Register this table as a Spark temp view (default name:
+        the table's directory name) and return the view name. Any
+        ``read`` selector works — ``version=``/``tag=``/``as_of_ts=``
+        — so SQL users get time travel too:
+        ``t.create_view("repos_v3", version=3)`` then
+        ``spark.sql("SELECT ... FROM repos_v3")``."""
+        n = name or os.path.basename(os.path.abspath(self.root))
+        self.read(**read_kw).createOrReplaceTempView(n)
+        return n
+
     # ---------- tags (named refs over the version chain) ----------
 
     @property
@@ -1864,6 +1875,34 @@ class LakeCatalog:
         for name in self.list_tables():
             self.table(name).clone(os.path.join(dst_root, name))
         return dst
+
+    def register_views(self, names: list[str] | None = None) -> list[str]:
+        """Register each table's CURRENT snapshot as a Spark temp view
+        (name = table name). A view pins the manifest read at
+        registration time — commits after that are invisible until the
+        next ``register_views``/``sql`` call, so one registration
+        gives a query a stable per-table snapshot set. Cost is one
+        manifest read per table (metadata only); the data plan behind
+        each view is the ordinary lazy ``read()``, so filters and
+        projections a query applies still prune/pushdown like any
+        DataFrame read."""
+        out = []
+        for name in names if names is not None else self.list_tables():
+            self.table(name).read().createOrReplaceTempView(name)
+            out.append(name)
+        return out
+
+    def sql(self, query: str) -> DataFrame:
+        """ANSI SQL over the catalog: every table is visible under its
+        own name, reflecting the latest commit at call time — the
+        reference's catalog-of-DataFrames surface
+        (lib/catalog/owid/catalog/catalogs.py:112-153) exposed the
+        Spark-native way, so users query lake tables exactly like any
+        registered source (joins across tables, window functions, CTEs
+        — the full Spark SQL dialect, optimized by Catalyst like the
+        DataFrame API)."""
+        self.register_views()
+        return self.spark.sql(query)
 
     def info(self) -> DataFrame:
         """One row per table from the current manifests — the

@@ -1180,3 +1180,37 @@ def test_expire_retains_versions_newer_than_current_read(spark, tmp_path):
     assert t.read(version=4).first()["v"] == 3
     with pytest.raises(FileNotFoundError):
         t.manifest(1)
+
+
+def test_catalog_sql_surface(spark, tmp_path):
+    """cat.sql: latest-wins table state queryable as plain Spark SQL;
+    create_view gives time-travel views."""
+    from etl_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    a = cat.create_table("ta", _schema(), ["k"], n_buckets=2)
+    b = cat.create_table("tb", _schema(), ["k"], n_buckets=2)
+    a.merge_cdc(_src(spark, [("a", 1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    a.merge_cdc(_src(spark, [("a", 10, "update", 3)]), epoch=1)
+    b.merge_cdc(_src(spark, [("a", 100, "insert", 1), ("c", 5, "insert", 2)]), epoch=0)
+
+    got = {
+        (r["k"], r["va"], r["vb"])
+        for r in cat.sql(
+            "SELECT ta.k, ta.v AS va, tb.v AS vb FROM ta LEFT JOIN tb USING (k)"
+        ).collect()
+    }
+    assert got == {("a", 10, 100), ("b", 2, None)}
+
+    # a view pins the snapshot at registration; re-register to advance
+    cat.register_views()
+    a.merge_cdc(_src(spark, [("z", 9, "insert", 4)]), epoch=2)
+    assert spark.sql("SELECT count(*) n FROM ta").first()["n"] == 2
+    cat.register_views()
+    assert spark.sql("SELECT count(*) n FROM ta").first()["n"] == 3
+
+    # time travel through SQL
+    vname = a.create_view("ta_v1", version=1)
+    assert {r["k"]: r["v"] for r in spark.sql(f"SELECT * FROM {vname}").collect()} == {
+        "a": 1, "b": 2,
+    }
