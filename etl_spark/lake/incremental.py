@@ -214,8 +214,6 @@ def sync_join(
 
 
 def _sync_join_once(fact, dim, dst, fk_cols, dim_cols) -> dict:
-    import functools as _ft
-
     dim_keys = dim.key_cols
     if len(fk_cols) != len(dim_keys):
         raise ValueError(f"fk_cols {fk_cols} must align with dim key_cols {dim_keys}")
@@ -231,6 +229,27 @@ def _sync_join_once(fact, dim, dst, fk_cols, dim_cols) -> dict:
     if vd_to >= 1_000_000:
         raise ValueError("dim version exceeds seq-stamp range")  # pragma: no cover
 
+    feed = _join_feed(fact, dim, fk_cols, dim_cols, vf_from, vf_to, vd_from, vd_to, dst)
+    stats = dst.merge_cdc(
+        feed,
+        epoch=f"joinsync_v{vf_to}_{vd_to}",
+        extra_manifest={"properties": {
+            **dst.properties, FACT_PROP: vf_to, DIM_PROP: vd_to,
+        }},
+    )
+    _advance_pin(fact, dst, vf_to)
+    _advance_pin(dim, dst, vd_to)
+    return {**stats, "skipped": False,
+            "fact_version": vf_to, "dim_version": vd_to}
+
+
+def _join_feed(fact, dim, fk_cols, dim_cols, vf_from, vf_to, vd_from, vd_to, dst):
+    """The merge_cdc source a join-view sync applies (pure plan
+    construction up to two tiny bucket-id probe jobs) — split out so
+    the plan tool can assert its physical shape."""
+    import functools as _ft
+
+    dim_keys = dim.key_cols
     internal = {fact.seq_col, "_deleted", "_cv"}
     fact_user = [c for c in fact.schema().names if c not in internal]
     dschema = dim.schema()
@@ -293,18 +312,7 @@ def _sync_join_once(fact, dim, dst, fk_cols, dim_cols) -> dict:
         del_part.withColumn("op", F.lit("delete"))
     )
     stamp = vf_to * 1_000_000 + vd_to  # strictly monotone across syncs
-    feed = feed.withColumn("seq", F.lit(stamp).cast("long"))
-    stats = dst.merge_cdc(
-        feed,
-        epoch=f"joinsync_v{vf_to}_{vd_to}",
-        extra_manifest={"properties": {
-            **dst.properties, FACT_PROP: vf_to, DIM_PROP: vd_to,
-        }},
-    )
-    _advance_pin(fact, dst, vf_to)
-    _advance_pin(dim, dst, vd_to)
-    return {**stats, "skipped": False,
-            "fact_version": vf_to, "dim_version": vd_to}
+    return feed.withColumn("seq", F.lit(stamp).cast("long"))
 
 
 def sync_agg(

@@ -193,6 +193,51 @@ def mirror_stream(
     return writer.start()
 
 
+def join_view_stream(
+    spark: SparkSession,
+    fact: LakeTable,
+    dim: LakeTable,
+    dst: LakeTable,
+    checkpoint_dir: str,
+    fk_cols: list[str],
+    dim_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming-maintained JOIN view: keep ``dst`` = fact LEFT JOIN
+    dim (``lake.incremental.sync_join`` semantics) as a streaming
+    query tailing the FACT table's change feed.
+
+    Same division of labor as ``agg_view_stream``: the stream
+    SCHEDULES (discovery of new fact commits, trigger pacing,
+    blocking semantics), ``sync_join`` is the unit of correctness —
+    its two watermarks commit atomically with each merged increment,
+    so kill/resume, duplicate triggers and concurrent batch syncs are
+    all safe regardless of the stream checkpoint. Each trigger ALSO
+    folds in any dim movement since the last sync (sync_join always
+    reconciles both watermarks), so a dim-only change lands with the
+    next fact commit; for a dim that must propagate without waiting
+    on fact traffic, run a batch ``sync_join`` on the side — it
+    coexists by design. The micro-batch DataFrame itself is never
+    acted on (delta files are listed, not read); per-trigger cost is
+    sync_join's own O(changed fact keys) + dim-movement work."""
+    from etl_spark.lake.incremental import sync_join
+
+    feed = read_change_stream(spark, fact, max_files_per_trigger=max_files_per_trigger)
+
+    def _apply(_batch: DataFrame, _batch_id: int) -> None:
+        sync_join(fact, dim, dst, fk_cols, dim_cols)
+
+    writer = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"join_view:{os.path.basename(dst.root)}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def agg_view_stream(
     spark: SparkSession,
     src: LakeTable,

@@ -246,3 +246,64 @@ def test_feed_shape_and_deletes(spark, repos_schema, tmp_path):
     q.awaitTermination()
     got = {r["path"]: (r["commit"], r["content"]) for r in B.read().collect()}
     assert got == {"a": ("c2", "x2")}  # b deleted, a at latest seq
+
+
+def test_join_view_stream_maintains_enrichment(spark, tmp_path):
+    """Streaming-maintained join view: J = A LEFT JOIN D on lang,
+    scheduled by A's change feed. Stage 2 carries BOTH a fact change
+    and a dim change (the trigger reconciles both watermarks); stop/
+    resume between stages; a fresh-checkpoint incarnation must not
+    corrupt (sync_join's watermarks are the exactly-once mechanism)."""
+    from pyspark.sql import types as T
+
+    from etl_spark.lake.incremental import join_view_schema
+    from etl_spark.streaming.feed import join_view_stream
+
+    A = _mor_table(spark, str(tmp_path / "A"), n_buckets=2)
+    dschema = T.StructType([
+        T.StructField("lang_key", T.StringType(), True),
+        T.StructField("family", T.StringType(), True),
+    ])
+    D = LakeTable.create(spark, str(tmp_path / "D"), dschema, ["lang_key"], n_buckets=2)
+    J = LakeTable.create(
+        spark, str(tmp_path / "J"), join_view_schema(A, D), ["repo", "path"], n_buckets=2
+    )
+    ev = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, content_sha256 string, op string, seq long"
+    )
+    dv = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "lang_key string, family string, op string, seq long"
+    )
+
+    def check():
+        want = {
+            (r["repo"], r["path"], r["lang"], r["family"])
+            for r in A.read()
+            .join(D.read().withColumnRenamed("lang_key", "lang"), ["lang"], "left")
+            .collect()
+        }
+        got = {(r["repo"], r["path"], r["lang"], r["family"]) for r in J.read().collect()}
+        assert got == want, (got, want)
+
+    D.merge_cdc(dv([("py", "script", "insert", 1), ("go", "compiled", "insert", 2)]), epoch=0)
+    A.merge_cdc(ev([("r", "a", "c1", "py", "x", None, "insert", 1),
+                    ("r", "b", "c1", "go", "y", None, "insert", 2),
+                    ("r", "c", "c1", "rs", "z", None, "insert", 3)]), epoch=0)  # dangling
+    chk = str(tmp_path / "chk_j")
+    join_view_stream(spark, A, D, J, chk, ["lang"]).awaitTermination()
+    check()
+
+    # stage 2: fact update + delete AND dim movement in the same drain
+    A.merge_cdc(ev([("r", "a", "c2", "go", "x2", None, "update", 4),
+                    ("r", "b", None, None, None, None, "delete", 5)]), epoch=1)
+    D.merge_cdc(dv([("go", "COMPILED", "update", 3), ("rs", "systems", "insert", 4)]), epoch=1)
+    join_view_stream(spark, A, D, J, chk, ["lang"]).awaitTermination()
+    check()
+    assert J.read().filter(F.col("path") == "c").first()["family"] == "systems"
+
+    # fresh checkpoint replays all delta files; watermarks make it a no-op
+    v = J.current_version()
+    join_view_stream(spark, A, D, J, str(tmp_path / "chk_j2"), ["lang"]).awaitTermination()
+    check()
+    assert J.current_version() == v

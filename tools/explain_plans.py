@@ -311,6 +311,38 @@ def main() -> int:
         ("Restore/publish diff: null-safe keys fold into a full-outer SMJ", p14, checks14)
     )
 
+    # 15. join-view sync feed: the dim-branch probe is a BROADCAST
+    # left-semi (affected fact rows found without shuffling the fact),
+    # and nothing in the feed degenerates to a nested-loop/cartesian
+    from etl_spark.lake.incremental import _join_feed, join_view_schema
+
+    d15 = LakeTable.create(spark, os.path.join(root, "d15"),
+                           T.StructType([T.StructField("dk", T.StringType(), True),
+                                         T.StructField("dv", T.StringType(), True)]),
+                           ["dk"], n_buckets=4)
+    d15.merge_cdc(spark.createDataFrame([("1", "x", "insert", 1), ("2", "y", "insert", 2)],
+                                        "dk string, dv string, op string, seq long"))
+    d15.merge_cdc(spark.createDataFrame([("1", "x2", "update", 3)],
+                                        "dk string, dv string, op string, seq long"))
+    jv15 = LakeTable.create(spark, os.path.join(root, "jv15"),
+                            join_view_schema(t8, d15), ["k"], n_buckets=4)
+    # fact moved (v1 -> current) AND dim moved (v1 -> current): both branches in the plan
+    p15 = plan_of(_join_feed(t8, d15, ["v"], None, 1, t8.current_version(),
+                             1, d15.current_version(), jv15))
+    checks15 = []
+    if re.search(r"BroadcastHashJoin LeftSemi", p15):
+        checks15.append("OK affected-fact probe is a broadcast LEFT SEMI "
+                        "(no fact shuffle on dim-driven re-enrichment)")
+    else:
+        failures.append("join_feed: dim-branch semi join not broadcast")
+    if "NestedLoop" not in p15 and "CartesianProduct" not in p15:
+        checks15.append("OK no nested-loop/cartesian anywhere in the feed")
+    else:
+        failures.append("join_feed: nested-loop/cartesian join in plan")
+    sections.append(
+        ("Join-view sync feed: broadcast semi probe, no fact shuffle", p15, checks15)
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
