@@ -132,6 +132,23 @@ def build_downstream(spark, src_table, pipeline_path: str):
             else:
                 dst = LakeTable(spark, root)
             hooks.append(lambda t, d=dst, g=gcols, s=scols: sync_agg(t, d, g, s))
+        elif kind == "join":
+            from etl_spark.lake.incremental import join_view_schema, sync_join
+
+            dim = LakeTable(spark, spec["dim"])
+            fk = spec["fk_cols"]
+            dcols = spec.get("dim_cols")
+            if not LakeTable.exists(root):
+                dst = LakeTable.create(
+                    spark, root, join_view_schema(src_table, dim, dcols),
+                    src_table.key_cols, seq_col=src_table.seq_col,
+                    n_buckets=spec.get("n_buckets", src_table.n_buckets),
+                )
+            else:
+                dst = LakeTable(spark, root)
+            hooks.append(
+                lambda t, d=dst, dm=dim, f=fk, c=dcols: sync_join(t, dm, d, f, c)
+            )
         else:
             raise SystemExit(f"unknown downstream kind: {kind!r}")
         tables.append(dst)

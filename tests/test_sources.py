@@ -172,12 +172,26 @@ def test_replay_job_with_pipeline(spark, tmp_path):
     from etl_spark.jobs.replay import main
     from etl_spark.lake.table import LakeTable
 
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     wal = str(tmp_path / "wal")
     write_event_log(spark, wal, 4000, files=3)
+    dim = LakeTable.create(
+        spark, str(tmp_path / "langs"),
+        T.StructType([T.StructField("lang_key", T.StringType(), True),
+                      T.StructField("family", T.StringType(), True)]),
+        ["lang_key"], n_buckets=2,
+    )
+    dim.merge_cdc(spark.createDataFrame(
+        [("python", "script", "insert", 1), ("rust", "compiled", "insert", 2)],
+        "lang_key string, family string, op string, seq long"))
     cfg = {
         "downstream": [
             {"kind": "mirror", "table": str(tmp_path / "mirror")},
             {"kind": "agg", "table": str(tmp_path / "bylang"), "group_cols": ["lang"]},
+            {"kind": "join", "table": str(tmp_path / "enriched"),
+             "dim": str(tmp_path / "langs"), "fk_cols": ["lang"]},
         ]
     }
     pipe = tmp_path / "pipeline.json"
@@ -196,10 +210,24 @@ def test_replay_job_with_pipeline(spark, tmp_path):
             for k, v in exp.groupby("lang", dropna=False).size().items()}
     assert {r["lang"]: r["n"] for r in agg.read().collect()} == want
 
+    # join kind: enriched = src LEFT JOIN langs (declared dim_cols)
+    enriched = LakeTable(spark, str(tmp_path / "enriched"))
+    src_t = LakeTable(spark, str(tmp_path / "tbl"))
+    want_j = {
+        (r["repo"], r["path"], r["family"])
+        for r in src_t.read()
+        .join(dim.read().withColumnRenamed("lang_key", "lang"), ["lang"], "left")
+        .collect()
+    }
+    got_j = {(r["repo"], r["path"], r["family"]) for r in enriched.read().collect()}
+    assert got_j == want_j
+    assert any(f is not None for _, _, f in got_j)  # some langs matched
+
     # rerun: every hop fenced/watermarked, versions unchanged
-    vs = (mirror.current_version(), agg.current_version())
+    vs = (mirror.current_version(), agg.current_version(), enriched.current_version())
     assert main(argv) == 0
-    assert (mirror.current_version(), agg.current_version()) == vs
+    assert (mirror.current_version(), agg.current_version(),
+            enriched.current_version()) == vs
 
 
 def test_replay_job_backport_mode(spark, tmp_path):
