@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "source_mix",
     "table_changes",
     "change_feed_mirror",
+    "join_view",     # new r4: incrementally maintained join view
+    "sql_surface",   # new r4: catalog SQL over CDC-evolved tables
 ]
 
 
