@@ -456,7 +456,9 @@ def incremental_bench(spark, root: str, n_events: int) -> dict:
 
     from etl_spark.cdc import replay as R
     from etl_spark.cdc.generator import generate_events
-    from etl_spark.lake.incremental import sync, sync_agg
+    from etl_spark.lake.incremental import (
+        join_view_schema, sync, sync_agg, sync_join,
+    )
     from etl_spark.lake.table import LakeTable
 
     src = _mk_table(spark, root, "inc_src")
@@ -468,9 +470,28 @@ def incremental_bench(spark, root: str, n_events: int) -> dict:
                       T.StructField("n", T.LongType(), True)]),
         ["lang"], n_buckets=8,
     )
+    dim = LakeTable.create(
+        spark, os.path.join(root, "inc_dim"),
+        T.StructType([T.StructField("lang_key", T.StringType(), True),
+                      T.StructField("family", T.StringType(), True)]),
+        ["lang_key"], n_buckets=4,
+    )
+    dim.merge_cdc(
+        src.read().select("lang").distinct()
+        .select(F.col("lang").alias("lang_key"),
+                F.concat(F.lit("fam_"), F.col("lang")).alias("family"),
+                F.lit("upsert").alias("op"),
+                F.monotonically_increasing_id().alias("seq")),
+        epoch=0,
+    )
+    jv = LakeTable.create(
+        spark, os.path.join(root, "inc_jv"), join_view_schema(src, dim),
+        src.key_cols, seq_col=src.seq_col, n_buckets=8,
+    )
     t0 = time.time()
     sync(src, mirror)
     sync_agg(src, agg, ["lang"])
+    sync_join(src, dim, jv, ["lang"])
     bootstrap = time.time() - t0
 
     one = spark.createDataFrame(
@@ -483,13 +504,26 @@ def incremental_bench(spark, root: str, n_events: int) -> dict:
     t0 = time.time()
     sync(src, mirror)
     sync_agg(src, agg, ["lang"])
+    sync_join(src, dim, jv, ["lang"])
     one_key = time.time() - t0
+
+    # dim-driven propagation: ONE dim row changes; the join view must
+    # re-enrich only the affected fact rows (broadcast semi probe —
+    # one pruned fact scan, no shuffle, merge O(affected))
+    dim.merge_cdc(spark.createDataFrame(
+        [("rust", "fam_rust_v2", "upsert", 10_000_000)],
+        "lang_key string, family string, op string, seq long"), epoch=1)
+    t0 = time.time()
+    sync_join(src, dim, jv, ["lang"])
+    one_dim = time.time() - t0
     return {
         "events": n_events,
         "bootstrap_sync_sec": round(bootstrap, 2),
         "one_key_propagation_sec": round(one_key, 2),
+        "one_dim_row_join_resync_sec": round(one_dim, 2),
         "mirror_rows": mirror.row_count(),
         "agg_rows": agg.row_count(),
+        "join_view_rows": jv.row_count(),
     }
 
 
