@@ -142,6 +142,9 @@ def _sync_once(src, dst, transform) -> dict:
 
 FACT_PROP = "sync_fact_version"
 DIM_PROP = "sync_dim_version"
+# changed-dim-key probes above this row count stop broadcasting and
+# fall back to a shuffle semi join (a dim bootstrap changes EVERY key)
+_BROADCAST_PROBE_MAX = 2_000_000
 
 
 def join_view_schema(fact: LakeTable, dim: LakeTable, dim_cols: list[str] | None = None):
@@ -297,8 +300,14 @@ def _join_feed(fact, dim, fk_cols, dim_cols, vf_from, vf_to, vd_from, vd_to, dst
         probe = dch.select(
             *[F.col(k).alias(f) for k, f in zip(dim_keys, fk_cols)]
         ).distinct()
+        # broadcast the changed-key probe only while it plausibly fits
+        # an executor (one cheap keys-only count over the changed dim
+        # buckets); a dim BOOTSTRAP/mass-rewrite degrades gracefully to
+        # a shuffle semi join instead of OOM-ing the broadcast
+        if probe.limit(_BROADCAST_PROBE_MAX + 1).count() <= _BROADCAST_PROBE_MAX:
+            probe = F.broadcast(probe)
         affected = fact.read(version=vf_to).select(*fact_user).join(
-            F.broadcast(probe), fk_cols, "left_semi"
+            probe, fk_cols, "left_semi"
         )
         ups_parts.append(_enrich(affected))
 

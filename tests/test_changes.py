@@ -785,3 +785,29 @@ def test_sync_join_validates(spark, tmp_path):
         sync_join(fact, dim, bad, ["fk"])
     with pytest.raises(ValueError, match="collide"):
         sync_join(fact, dim, dst, ["fk"], dim_cols=["val"])
+
+
+def test_sync_join_probe_fallback_above_broadcast_cap(spark, tmp_path, monkeypatch):
+    """A dim change set above the broadcast cap degrades to a shuffle
+    semi join (no broadcast OOM on dim bootstraps) with identical
+    results."""
+    from etl_spark.lake import incremental as inc
+
+    fact = _jv_fact(spark, tmp_path)
+    dim = _jv_dim(spark, tmp_path)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "jv"), inc.join_view_schema(fact, dim), ["k"], n_buckets=4
+    )
+    fddl = "k string, fk string, val long, op string, seq long"
+    dddl = "dk string, dname string, op string, seq long"
+    fact.merge_cdc(_jv_rows(spark, [("a", "d1", 1, "insert", 1),
+                                    ("b", "d2", 2, "insert", 2)], fddl))
+    dim.merge_cdc(_jv_rows(spark, [("d1", "one", "insert", 1)], dddl))
+    inc.sync_join(fact, dim, dst, ["fk"])
+
+    monkeypatch.setattr(inc, "_BROADCAST_PROBE_MAX", 0)  # force fallback
+    dim.merge_cdc(_jv_rows(spark, [("d1", "ONE", "update", 2),
+                                   ("d2", "two", "insert", 3)], dddl))
+    inc.sync_join(fact, dim, dst, ["fk"])
+    got = {(r["k"], r["dname"]) for r in dst.read().collect()}
+    assert got == {("a", "ONE"), ("b", "two")}
