@@ -454,6 +454,15 @@ class LakeTable:
         self.read(**read_kw).createOrReplaceTempView(n)
         return n
 
+    def create_changes_view(self, name: str, v_from: int, v_to: int | None = None) -> str:
+        """Register the change feed between two versions as a temp
+        view — the SQL form of ``changes_since`` (Delta's
+        ``table_changes`` TVF analog): user columns + seq +
+        ``_change_type`` ('upsert'|'delete'), one row per net-changed
+        key, bucket-pruned like any changelog read."""
+        self.changes_since(v_from, v_to).createOrReplaceTempView(name)
+        return name
+
     # ---------- tags (named refs over the version chain) ----------
 
     @property

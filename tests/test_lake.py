@@ -1214,3 +1214,11 @@ def test_catalog_sql_surface(spark, tmp_path):
     assert {r["k"]: r["v"] for r in spark.sql(f"SELECT * FROM {vname}").collect()} == {
         "a": 1, "b": 2,
     }
+
+    # the change feed as SQL (table_changes TVF analog)
+    a.create_changes_view("ta_changes", 1)
+    got_ch = {
+        (r["k"], r["_change_type"])
+        for r in spark.sql("SELECT k, _change_type FROM ta_changes").collect()
+    }
+    assert got_ch == {("a", "upsert"), ("z", "upsert")}
