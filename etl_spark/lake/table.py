@@ -1885,32 +1885,50 @@ class LakeCatalog:
             self.table(name).clone(os.path.join(dst_root, name))
         return dst
 
-    def register_views(self, names: list[str] | None = None) -> list[str]:
-        """Register each table's CURRENT snapshot as a Spark temp view
-        (name = table name). A view pins the manifest read at
-        registration time — commits after that are invisible until the
-        next ``register_views``/``sql`` call, so one registration
-        gives a query a stable per-table snapshot set. Cost is one
-        manifest read per table (metadata only); the data plan behind
-        each view is the ordinary lazy ``read()``, so filters and
-        projections a query applies still prune/pushdown like any
-        DataFrame read."""
+    def snapshot(self) -> dict[str, int]:
+        """A consistent point-in-time handle over the whole catalog:
+        {table: current_version} captured in one metadata pass. Pass
+        to ``sql(..., at=snap)`` / ``register_views(at=snap)`` for
+        repeatable reads across multiple queries — every table is
+        read at its captured version no matter what commits land in
+        between (versions are immutable; pin or keep_last must cover
+        the snapshot's age, like any time-travel read)."""
+        return {name: self.table(name).current_version() for name in self.list_tables()}
+
+    def register_views(
+        self,
+        names: list[str] | None = None,
+        at: dict[str, int] | None = None,
+    ) -> list[str]:
+        """Register each table's snapshot as a Spark temp view (name =
+        table name) — the CURRENT version by default, or the versions
+        captured by a ``snapshot()`` handle via ``at``. A view pins
+        the manifest read at registration time — commits after that
+        are invisible until the next ``register_views``/``sql`` call,
+        so one registration gives a query a stable per-table snapshot
+        set. Cost is one manifest read per table (metadata only); the
+        data plan behind each view is the ordinary lazy ``read()``,
+        so filters and projections a query applies still
+        prune/pushdown like any DataFrame read."""
         out = []
         for name in names if names is not None else self.list_tables():
-            self.table(name).read().createOrReplaceTempView(name)
+            v = at.get(name) if at is not None else None
+            self.table(name).read(version=v).createOrReplaceTempView(name)
             out.append(name)
         return out
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, at: dict[str, int] | None = None) -> DataFrame:
         """ANSI SQL over the catalog: every table is visible under its
-        own name, reflecting the latest commit at call time — the
-        reference's catalog-of-DataFrames surface
+        own name, reflecting the latest commit at call time — or, with
+        ``at=catalog.snapshot()``, a consistent point-in-time view
+        (repeatable read across queries). The reference's
+        catalog-of-DataFrames surface
         (lib/catalog/owid/catalog/catalogs.py:112-153) exposed the
         Spark-native way, so users query lake tables exactly like any
         registered source (joins across tables, window functions, CTEs
         — the full Spark SQL dialect, optimized by Catalyst like the
         DataFrame API)."""
-        self.register_views()
+        self.register_views(at=at)
         return self.spark.sql(query)
 
     def info(self) -> DataFrame:

@@ -1222,3 +1222,14 @@ def test_catalog_sql_surface(spark, tmp_path):
         for r in spark.sql("SELECT k, _change_type FROM ta_changes").collect()
     }
     assert got_ch == {("a", "upsert"), ("z", "upsert")}
+
+    # snapshot isolation: a snapshot handle gives repeatable reads
+    # across the whole catalog, immune to commits in between
+    snap = cat.snapshot()
+    a.merge_cdc(_src(spark, [("y", 77, "insert", 5)]), epoch=3)
+    b.merge_cdc(_src(spark, [("a", None, "delete", 3)]), epoch=1)
+    live = cat.sql("SELECT (SELECT count(*) FROM ta) AS na, (SELECT count(*) FROM tb) AS nb").first()
+    assert (live["na"], live["nb"]) == (4, 1)
+    old = cat.sql("SELECT (SELECT count(*) FROM ta) AS na, (SELECT count(*) FROM tb) AS nb",
+                  at=snap).first()
+    assert (old["na"], old["nb"]) == (3, 2)
