@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -39,9 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wal", help="WAL directory (ordered parquet; stream/batch modes)")
     p.add_argument("--table", required=True, help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (stream mode)")
-    p.add_argument("--mode", choices=["stream", "batch", "backport", "diff"],
+    p.add_argument("--mode", choices=["stream", "batch", "backport", "diff", "sql"],
                    default="stream")
     p.add_argument("--out", help="backport mode: directory for the emitted event frame")
+    p.add_argument("--query",
+                   help="sql mode: SQL string or path to a .sql file; tables "
+                        "in the --table catalog are views named after their "
+                        "directories")
+    p.add_argument("--limit", type=int, default=100,
+                   help="sql mode: max rows printed when --out is not given")
     p.add_argument("--against",
                    help="diff mode: second lake-catalog root to compare --table "
                         "(as a catalog root) against")
@@ -266,6 +273,35 @@ def main(argv=None) -> int:
             "seconds": round(time.time() - t0, 2),
         }))
         return 1 if n_diff else 0
+
+    if args.mode == "sql":
+        # ad-hoc ANSI SQL over a lake catalog from spark-submit: every
+        # table is a view named after its directory; results print as
+        # JSON lines (bounded by --limit) or land in --out as parquet
+        from etl_spark.lake.table import LakeCatalog
+
+        if not args.query:
+            print("--query is required in sql mode", file=sys.stderr)
+            return 2
+        q = args.query
+        if os.path.exists(q):
+            with open(q) as f:
+                q = f.read()
+        t0 = time.time()
+        df = LakeCatalog(spark, args.table).sql(q)
+        if args.out:
+            df.write.mode("error").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"mode": "sql", "catalog": args.table, "out": args.out,
+                              "rows": int(n), "seconds": round(time.time() - t0, 2)}))
+        else:
+            rows = df.limit(args.limit).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+            print(json.dumps({"mode": "sql", "catalog": args.table,
+                              "rows_shown": len(rows), "limit": args.limit,
+                              "seconds": round(time.time() - t0, 2)}), file=sys.stderr)
+        return 0
 
     if not args.wal:
         print("--wal is required in stream/batch modes", file=sys.stderr)

@@ -314,3 +314,41 @@ def test_replay_job_diff_mode(spark, tmp_path):
     assert report["n_differing"] == 1
     assert report["tables"][0]["table"] == "repos"
     assert report["tables"][0]["status"] == "data_changed"
+
+
+def test_replay_job_sql_mode(spark, tmp_path, capsys):
+    """--mode sql runs ANSI SQL over a lake catalog from the CLI,
+    printing JSON rows; --out writes parquet instead."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from etl_spark.jobs.replay import main
+    from etl_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table(
+        "kv",
+        T.StructType([T.StructField("k", T.StringType(), True),
+                      T.StructField("v", T.LongType(), True)]),
+        ["k"], n_buckets=2,
+    )
+    t.merge_cdc(spark.createDataFrame(
+        [("a", 1, "insert", 1), ("b", 2, "insert", 2), ("a", 10, "update", 3)],
+        "k string, v long, op string, seq long"))
+
+    assert main(["--table", str(tmp_path / "cat"), "--mode", "sql",
+                 "--query", "SELECT k, v FROM kv ORDER BY k"]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert [_json.loads(l) for l in lines] == [{"k": "a", "v": 10}, {"k": "b", "v": 2}]
+
+    # .sql file + --out parquet
+    qf = tmp_path / "q.sql"
+    qf.write_text("SELECT sum(v) AS total FROM kv")
+    out = str(tmp_path / "res")
+    assert main(["--table", str(tmp_path / "cat"), "--mode", "sql",
+                 "--query", str(qf), "--out", out]) == 0
+    assert spark.read.parquet(out).first()["total"] == 12
+
+    # missing --query is a usage error
+    assert main(["--table", str(tmp_path / "cat"), "--mode", "sql"]) == 2
