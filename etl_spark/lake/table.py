@@ -1931,6 +1931,32 @@ class LakeCatalog:
         self.register_views(at=at)
         return self.spark.sql(query)
 
+    def maintain_all(self, apply: bool = False, keep_last: int = 4, **advise_kw) -> list[dict]:
+        """Catalog-wide maintenance sweep: run every table's
+        manifest-only ``advise`` and (optionally) apply the SAFE
+        subset — ``compact`` and ``expire_versions`` are applied when
+        ``apply=True`` (both respect retention pins and the orphan
+        grace window); ``purge_tombstones`` (needs the slowest
+        consumer's watermark) and ``rebucket`` (needs a target bucket
+        count) are surfaced but never auto-applied. Returns one row
+        per recommendation: {table, action, reason, applied}. The
+        per-table streaming driver automates its own table's upkeep
+        (``maintain_every``); this is the operator's whole-catalog
+        sweep for batch estates."""
+        report = []
+        for name in self.list_tables():
+            t = self.table(name)
+            for rec in t.advise(**advise_kw):
+                row = {"table": name, **rec, "applied": False}
+                if apply and rec["action"] == "compact":
+                    t.compact()
+                    row["applied"] = True
+                elif apply and rec["action"] == "expire_versions":
+                    t.expire_versions(keep_last=keep_last)
+                    row["applied"] = True
+                report.append(row)
+        return report
+
     def info(self) -> DataFrame:
         """One row per table from the current manifests — the
         reference's catalog frame (`reindex`/`find`,

@@ -1233,3 +1233,28 @@ def test_catalog_sql_surface(spark, tmp_path):
     old = cat.sql("SELECT (SELECT count(*) FROM ta) AS na, (SELECT count(*) FROM tb) AS nb",
                   at=snap).first()
     assert (old["na"], old["nb"]) == (3, 2)
+
+
+def test_catalog_maintain_all(spark, tmp_path):
+    """maintain_all surfaces per-table advice and applies only the
+    safe subset (compact, expire) when asked."""
+    from etl_spark.lake.table import LakeCatalog
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    t = cat.create_table("m", _schema(), ["k"], n_buckets=2, write_mode="mor")
+    for i in range(10):
+        t.merge_cdc(_src(spark, [(f"k{i}", i, "insert", i + 1)]), epoch=i)
+
+    rep = cat.maintain_all(compact_deltas_over=4, expire_versions_over=4)
+    actions = {(r["table"], r["action"]) for r in rep}
+    assert ("m", "compact") in actions and ("m", "expire_versions") in actions
+    assert all(r["applied"] is False for r in rep)
+
+    rep2 = cat.maintain_all(apply=True, keep_last=2,
+                            compact_deltas_over=4, expire_versions_over=4)
+    assert {r["action"] for r in rep2 if r["applied"]} == {"compact", "expire_versions"}
+    m = t.manifest()
+    assert len(m.get("deltas", [])) == 0  # compacted
+    assert {r["k"] for r in t.read().collect()} == {f"k{i}" for i in range(10)}
+    # advice now clean on those axes
+    assert cat.maintain_all(compact_deltas_over=4, expire_versions_over=4) == []
