@@ -1904,6 +1904,59 @@ def q_join_view(spark, sf_dir):
     )
 
 
+def q_distinct_view(spark, sf_dir):
+    """Approximate-distinct view maintenance (sync_agg distinct_cols):
+    per-source doc count + distinct length-bucket count maintained
+    from an INSERT-ONLY change feed across two syncs via mergeable
+    Datasketches HLL sketches (hll_sketch_agg/hll_union — idempotent,
+    commutative set-union state, the distributed-view-friendly
+    aggregate). At these cardinalities (<=32 buckets/group) the
+    sketch stays sparse, so the estimate is exact and the DuckDB
+    COUNT(DISTINCT) oracle matches bit-for-bit."""
+    def build():
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_spark.lake.incremental import agg_view_schema, sync_agg
+        from etl_spark.lake.table import LakeTable
+
+        docs = _t(spark, sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix="lakend_", dir=_scratch_dir())
+        src_schema = T.StructType([
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("len_bucket", T.LongType(), True),
+        ])
+        src = LakeTable.create(spark, root + "/src", src_schema, ["doc_id"], n_buckets=8)
+        dst = LakeTable.create(
+            spark, root + "/nd",
+            agg_view_schema(src, ["source"], distinct_cols=["len_bucket"]),
+            ["source"], n_buckets=4,
+        )
+        feed = docs.select(
+            "doc_id", "source",
+            (F.length("text") % 32).cast("long").alias("len_bucket"),
+            F.lit("upsert").alias("op"), F.col("doc_id").alias("seq"),
+        )
+        mid = int(docs.agg(F.max("doc_id")).first()[0] or 0) // 2
+        src.merge_cdc(feed.filter(F.col("doc_id") <= mid), epoch=0)
+        sync_agg(src, dst, ["source"], distinct_cols=["len_bucket"])
+        src.merge_cdc(feed.filter(F.col("doc_id") > mid), epoch=1)
+        sync_agg(src, dst, ["source"], distinct_cols=["len_bucket"])
+        return dst
+
+    dst = _cached_fixture(spark, ("distinct_view", os.path.abspath(sf_dir)), build)
+    return dst.read().select("source", "n", "nd_len_bucket")
+
+
+_SQL_DISTINCT_VIEW = """
+SELECT source, COUNT(*) AS n,
+       COUNT(DISTINCT LENGTH(text) % 32)::BIGINT AS nd_len_bucket
+FROM documents GROUP BY source
+"""
+
+
 def q_sql_surface(spark, sf_dir):
     """The catalog's ANSI-SQL surface (LakeCatalog.sql): two lake
     tables built via CDC merges — nation evolved over three epochs
@@ -2499,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_view": q_agg_view,
         "join_view": q_join_view,
         "sql_surface": q_sql_surface,
+        "distinct_view": q_distinct_view,
         "line_dedup": q_line_dedup,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
@@ -2753,6 +2807,7 @@ FROM documents
         "agg_view": _SQL_AGG_VIEW,
         "join_view": _SQL_JOIN_VIEW,
         "sql_surface": _SQL_SQL_SURFACE,
+        "distinct_view": _SQL_DISTINCT_VIEW,
         "line_dedup": _SQL_LINE_DEDUP,
         "contamination": _SQL_CONTAMINATION,
         "pii_redact": _SQL_PII_REDACT,

@@ -125,20 +125,22 @@ def build_downstream(spark, src_table, pipeline_path: str):
                 dst = LakeTable(spark, root)
             hooks.append(lambda t, d=dst: sync(t, d))
         elif kind == "agg":
+            from etl_spark.lake.incremental import agg_view_schema
+
             gcols = spec["group_cols"]
             scols = spec.get("sum_cols", [])
+            dcols = spec.get("distinct_cols", [])
             if not LakeTable.exists(root):
-                fields = [user_fields[g] for g in gcols]
-                fields.append(T.StructField("n", T.LongType(), True))
-                for c in scols:
-                    fields.append(T.StructField(f"sum_{c}", T.LongType(), True))
                 dst = LakeTable.create(
-                    spark, root, T.StructType(fields), gcols,
-                    seq_col=src_table.seq_col, n_buckets=spec.get("n_buckets", 16),
+                    spark, root, agg_view_schema(src_table, gcols, scols, dcols),
+                    gcols, seq_col=src_table.seq_col,
+                    n_buckets=spec.get("n_buckets", 16),
                 )
             else:
                 dst = LakeTable(spark, root)
-            hooks.append(lambda t, d=dst, g=gcols, s=scols: sync_agg(t, d, g, s))
+            hooks.append(
+                lambda t, d=dst, g=gcols, s=scols, dc=dcols: sync_agg(t, d, g, s, dc or None)
+            )
         elif kind == "join":
             from etl_spark.lake.incremental import join_view_schema, sync_join
 

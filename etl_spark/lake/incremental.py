@@ -147,6 +147,29 @@ DIM_PROP = "sync_dim_version"
 _BROADCAST_PROBE_MAX = 2_000_000
 
 
+def agg_view_schema(
+    src: LakeTable,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+):
+    """The dst schema for ``sync_agg``: group columns (typed from
+    src), ``n``, one ``sum_<c>`` per sum column, and per distinct
+    column the ``nd_<c>`` long estimate + ``sk_<c>`` binary HLL
+    sketch. Pass to ``LakeTable.create`` keyed by ``group_cols``."""
+    from pyspark.sql import types as T
+
+    schema = src.schema()
+    fields = [T.StructField(g, schema[g].dataType, True) for g in group_cols]
+    fields.append(T.StructField("n", T.LongType(), True))
+    for c in sum_cols or []:
+        fields.append(T.StructField(f"sum_{c}", T.LongType(), True))
+    for c in distinct_cols or []:
+        fields.append(T.StructField(f"nd_{c}", T.LongType(), True))
+        fields.append(T.StructField(f"sk_{c}", T.BinaryType(), True))
+    return T.StructType(fields)
+
+
 def join_view_schema(fact: LakeTable, dim: LakeTable, dim_cols: list[str] | None = None):
     """The dst schema for ``sync_join``: fact's user columns followed
     by the enrichment columns pulled from dim. Pass to
@@ -329,6 +352,7 @@ def sync_agg(
     dst: LakeTable,
     group_cols: list[str],
     sum_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
     max_retries: int = 3,
 ) -> dict:
     """Incremental materialized aggregate: maintain per-group ``n``
@@ -355,30 +379,57 @@ def sync_agg(
     ``sum_cols`` should be exact types (long/decimal): float sums
     would accumulate in a different order than a full recompute.
     ``dst`` must be keyed by ``group_cols`` with columns
-    ``group_cols + [n] + [sum_<c> ...]``.
+    ``group_cols + [n] + [sum_<c> ...]`` (+ ``nd_<c>`` long and
+    ``sk_<c>`` binary per ``distinct_cols`` entry).
+
+    ``distinct_cols`` maintains APPROXIMATE-DISTINCT counts per group
+    via mergeable Datasketches HLL sketches (Spark-native
+    ``hll_sketch_agg``/``hll_union``): the binary sketch state rides in
+    ``sk_<c>``, the readable estimate in ``nd_<c>``. Sketch union is
+    set-semantics (idempotent, commutative, mergeable across
+    executors) — exactly what a 100-TB distributed view wants — but it
+    CANNOT retract, so distinct sketches require an INSERT-ONLY change
+    feed; a sync that sees any update/delete while ``distinct_cols``
+    is set raises instead of silently under-counting. Estimates are
+    exact while a group's sketch stays in sparse mode (hundreds of
+    distinct values) and ~1.6% relative error beyond.
     """
     return _with_conflict_retry(
-        lambda: _sync_agg_once(src, dst, group_cols, sum_cols), max_retries
+        lambda: _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols),
+        max_retries,
     )
 
 
-def _sync_agg_once(src, dst, group_cols, sum_cols) -> dict:
+def _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols=None) -> dict:
     sum_cols = sum_cols or []
+    distinct_cols = distinct_cols or []
     v_from = int(dst.properties.get(SYNC_PROP, 0))
     v_to = src.current_version()
     if v_to <= v_from:
         return {"skipped": True, "from_version": v_from, "to_version": v_to}
     ch = src.changes(v_from, v_to, preimage_cols=[*group_cols, *sum_cols])
     t = F.col("_change_type")
+    if distinct_cols:
+        # HLL sketches cannot retract: enforce the insert-only contract
+        # fast (one keys-only probe over the changed buckets)
+        if ch.filter(t != "insert").limit(1).count() > 0:
+            raise ValueError(
+                "distinct_cols requires an insert-only change feed: HLL "
+                "sketches cannot retract updates/deletes — drop "
+                "distinct_cols for this view or keep the source append-only"
+            )
     adds = ch.filter(t != "delete").select(
         *[F.col(g) for g in group_cols],
         F.lit(1).alias("_dn"),
         *[F.coalesce(F.col(c), F.lit(0)).alias(f"_d_{c}") for c in sum_cols],
+        *[F.col(c).alias(f"_v_{c}") for c in distinct_cols],
     )
     subs = ch.filter(t != "insert").select(
         *[F.col(f"_pre_{g}").alias(g) for g in group_cols],
         F.lit(-1).alias("_dn"),
         *[(-F.coalesce(F.col(f"_pre_{c}"), F.lit(0))).alias(f"_d_{c}") for c in sum_cols],
+        *[F.lit(None).cast(ch.schema[c].dataType).alias(f"_v_{c}")
+          for c in distinct_cols],
     )
     # delta is O(touched groups) — tiny — and is consumed three times
     # (bucket discovery, the join, and the merge's own double read);
@@ -389,6 +440,7 @@ def _sync_agg_once(src, dst, group_cols, sum_cols) -> dict:
         .agg(
             F.sum("_dn").alias("_dn"),
             *[F.sum(f"_d_{c}").alias(f"_d_{c}") for c in sum_cols],
+            *[F.hll_sketch_agg(f"_v_{c}").alias(f"_dsk_{c}") for c in distinct_cols],
         )
     ).persist()
     # bucket-pruned read of the current aggregate rows: the bucket set
@@ -402,6 +454,7 @@ def _sync_agg_once(src, dst, group_cols, sum_cols) -> dict:
         *[F.col(g).alias(f"_k_{g}") for g in group_cols],
         F.col("n").alias("_cur_n"),
         *[F.col(f"sum_{c}").alias(f"_cur_{c}") for c in sum_cols],
+        *[F.col(f"sk_{c}").alias(f"_cursk_{c}") for c in distinct_cols],
     )
     # NULL-SAFE group join: NULL is a legal group value and must match
     # its own aggregate row (a plain key join silently resets NULL
@@ -412,6 +465,14 @@ def _sync_agg_once(src, dst, group_cols, sum_cols) -> dict:
     )
     j = delta.join(cur, cond, "left").drop(*[f"_k_{g}" for g in group_cols])
     new_n = F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_dn")
+    def _merged_sketch(c):
+        cursk, dsk = F.col(f"_cursk_{c}"), F.col(f"_dsk_{c}")
+        return (
+            F.when(cursk.isNull(), dsk)
+            .when(dsk.isNull(), cursk)
+            .otherwise(F.hll_union(cursk, dsk))
+        )
+
     feed = j.select(
         *[F.col(g) for g in group_cols],
         new_n.alias("n"),
@@ -419,6 +480,10 @@ def _sync_agg_once(src, dst, group_cols, sum_cols) -> dict:
             (F.coalesce(F.col(f"_cur_{c}"), F.lit(0)) + F.col(f"_d_{c}")).alias(f"sum_{c}")
             for c in sum_cols
         ],
+        *[c for dc in distinct_cols for c in (
+            F.hll_sketch_estimate(_merged_sketch(dc)).alias(f"nd_{dc}"),
+            _merged_sketch(dc).alias(f"sk_{dc}"),
+        )],
         F.when(new_n <= 0, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
         F.lit(v_to).cast("long").alias("seq"),
     )

@@ -811,3 +811,54 @@ def test_sync_join_probe_fallback_above_broadcast_cap(spark, tmp_path, monkeypat
     inc.sync_join(fact, dim, dst, ["fk"])
     got = {(r["k"], r["dname"]) for r in dst.read().collect()}
     assert got == {("a", "ONE"), ("b", "two")}
+
+
+def test_sync_agg_distinct_sketches(spark, tmp_path):
+    """Approximate-distinct view maintenance: HLL sketches merge
+    incrementally across insert-only syncs, estimates match exact
+    distinct counts at sparse-mode cardinalities, and the insert-only
+    contract is enforced on retraction."""
+    from etl_spark.lake.incremental import agg_view_schema, sync_agg
+
+    src = _agg_src(spark, tmp_path)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "nddst"),
+        agg_view_schema(src, ["grp"], ["metric"], ["k"]),
+        ["grp"], n_buckets=4,
+    )
+
+    def check():
+        want = {
+            (r["grp"], r["n"], r["s"], r["nd"])
+            for r in src.read().groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("metric").alias("s"),
+                F.countDistinct("k").alias("nd")).collect()
+        }
+        got = {(r["grp"], r["n"], r["sum_metric"], r["nd_k"])
+               for r in dst.read().collect()}
+        assert got == want, (got, want)
+
+    src.merge_cdc(_agg_rows(spark, [
+        ("a", "g1", 1, "insert", 1), ("b", "g1", 2, "insert", 2),
+        ("c", "g2", 3, "insert", 3),
+    ]))
+    sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    check()
+
+    # second insert-only batch: sketches union in
+    src.merge_cdc(_agg_rows(spark, [
+        ("d", "g1", 4, "insert", 4), ("e", "g2", 5, "insert", 5),
+        ("f", "g3", 6, "insert", 6),
+    ]))
+    sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    check()
+    assert sync_agg(src, dst, ["grp"], ["metric"], ["k"])["skipped"] is True
+
+    # retraction under distinct_cols is refused (HLL cannot retract)
+    src.merge_cdc(_agg_rows(spark, [("a", None, None, "delete", 7)]))
+    with pytest.raises(ValueError, match="insert-only"):
+        sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    # without distinct_cols the same view family still retracts fine
+    plain = _agg_dst(spark, tmp_path, name="plain")
+    sync_agg(src, plain, ["grp"], ["metric"])
+    assert {r["grp"]: r["n"] for r in plain.read().collect()} == {"g1": 2, "g2": 2, "g3": 1}
