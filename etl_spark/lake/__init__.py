@@ -1,3 +1,4 @@
 from etl_spark.lake.table import LakeCatalog, LakeTable
+from etl_spark.lake.txn import CatalogTransaction, TransactionStateError
 
-__all__ = ["LakeCatalog", "LakeTable"]
+__all__ = ["LakeCatalog", "LakeTable", "CatalogTransaction", "TransactionStateError"]

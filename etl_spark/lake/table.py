@@ -1754,6 +1754,17 @@ class LakeTable:
                         f"{chain} retained parent versions (> {expire_versions_over})"})
         return out
 
+    def repair(self) -> int:
+        """Roll CURRENT forward over complete manifests a crashed
+        writer left unflipped (crash between the manifest's exclusive
+        create and the CURRENT flip wedges every later writer into
+        CommitConflictError on that claimed version — flipping is
+        exactly the crashed writer's next instruction, so roll-forward
+        is always correct). Returns the resulting CURRENT."""
+        from etl_spark.lake.txn import repair
+
+        return repair(self)
+
     def expire_versions(self, keep_last: int = 2, orphan_grace_sec: float = 3600.0) -> None:
         """Expire old versions: drop data/delta dirs (and manifest
         JSONs) only referenced by expired versions. Retained always:
@@ -1930,6 +1941,28 @@ class LakeCatalog:
         DataFrame API)."""
         self.register_views(at=at)
         return self.spark.sql(query)
+
+    def begin(self, txn_id: str | None = None):
+        """Open a multi-table atomic transaction (the reference's
+        publish-a-whole-Dataset-as-one-unit contract,
+        lib/catalog/owid/catalog/datasets.py:48-124 + etl/publish.py:
+        99-176, lifted to the catalog). Usable as a context manager:
+        commits on clean exit, aborts on exception. See
+        etl_spark.lake.txn for the crash-safe commit protocol."""
+        from etl_spark.lake.txn import CatalogTransaction
+
+        return CatalogTransaction(self, txn_id)
+
+    def recover(self, grace_sec: float = 300.0) -> list[dict]:
+        """Heal crashed commits: finish committed transactions' pending
+        CURRENT flips, roll forward plain manifests a crashed
+        single-table writer left above CURRENT, and (past the grace
+        window) roll back prepared-but-never-committed transaction
+        versions so their claimed version numbers stop blocking
+        writers. Run at catalog open / on a schedule."""
+        from etl_spark.lake.txn import recover
+
+        return recover(self, grace_sec)
 
     def maintain_all(self, apply: bool = False, keep_last: int = 4, **advise_kw) -> list[dict]:
         """Catalog-wide maintenance sweep: run every table's
