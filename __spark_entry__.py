@@ -409,6 +409,48 @@ FROM (
 """
 
 
+def q_txn_publish(spark, sf_dir):
+    """Multi-table atomic publish driven end-to-end: one
+    CatalogTransaction splits the CDC feed across two tables (user_id
+    parity shards), both created and merged INSIDE the transaction,
+    and commits them as one unit — prepared manifests stay invisible
+    until the single txn-record create flips both tables forward
+    (lake/txn.py). The reference analog is publishing a Dataset's
+    several tables + index as one unit, index synced last
+    (lib/catalog/owid/catalog/datasets.py:48-124, etl/publish.py:
+    99-176). Result = union of both shards after commit; oracle =
+    latest-wins over ALL events (exactly cdc_merge_table's)."""
+    def build():
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_spark.lake import LakeCatalog
+
+        ev = _t(spark, sf_dir, "events")
+        schema = T.StructType([
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+            T.StructField("props_sha256", T.StringType(), True),
+        ])
+        root = tempfile.mkdtemp(prefix="laketxn_", dir=_scratch_dir())
+        cat = LakeCatalog(spark, root)
+        src = _events_as_cdc(ev)
+        with cat.begin() as txn:
+            for name, par in (("even", 0), ("odd", 1)):
+                h = txn.create_table(
+                    name, schema, ["user_id"], seq_col="last_seq", n_buckets=4,
+                    derived={"props_sha256": ("sha256", "props")},
+                )
+                h.merge_cdc(src.filter(F.pmod("user_id", F.lit(2)) == par), epoch=0)
+        return cat
+
+    cat = _cached_fixture(spark, ("replay_txn", os.path.abspath(sf_dir)), build)
+    return _final_state(cat.table("even")).unionByName(_final_state(cat.table("odd")))
+
+
 def q_mor_read_equivalence(spark, sf_dir):
     """Merge-on-read path: same replay as cdc_merge_table but via
     O(batch) delta appends and NO compaction — the read-time resolve
@@ -2570,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_restore": q_table_restore,
         "table_clone": q_table_clone,
         "table_publish": q_table_publish,
+        "txn_publish": q_txn_publish,
     }
 
 
@@ -2825,4 +2868,5 @@ FROM documents
         "table_restore": _SQL_RESTORE,
         "table_clone": _SQL_MERGE_FINAL,
         "table_publish": _SQL_PUBLISH,
+        "txn_publish": _SQL_MERGE_FINAL,
     }

@@ -172,6 +172,10 @@ def ensure_table(spark, args):
 
     if LakeTable.exists(args.table):
         t = LakeTable(spark, args.table)
+        # heal a prior writer's crash between manifest create and
+        # CURRENT flip (roll-forward only; txn-stamped manifests are
+        # recover()'s business) so the job never starts wedged
+        t.repair()
         # the stored manifest wins over flags, but a silent mismatch
         # (e.g. rerunning a cow table with --write-mode mor) is the
         # kind of operator error that corrupts expectations — error on

@@ -1975,8 +1975,15 @@ class LakeCatalog:
         per recommendation: {table, action, reason, applied}. The
         per-table streaming driver automates its own table's upkeep
         (``maintain_every``); this is the operator's whole-catalog
-        sweep for batch estates."""
-        report = []
+        sweep for batch estates. The sweep heals first: crashed
+        commits are rolled forward / rolled back (see ``recover``)
+        before any advice is computed, so advice never reads a
+        wedged table."""
+        report = [
+            {"table": a["table"], "action": a["action"],
+             "reason": "crash recovery (lake/txn.py protocol)", "applied": True}
+            for a in self.recover()
+        ]
         for name in self.list_tables():
             t = self.table(name)
             for rec in t.advise(**advise_kw):

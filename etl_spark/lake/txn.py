@@ -274,11 +274,12 @@ def recover(catalog: LakeCatalog, grace_sec: float = 300.0) -> list[dict]:
     """
     actions: list[dict] = []
     txn_dir = os.path.join(catalog.root, "_txns")
-    committed: set[str] = set()
+    committed: dict[str, dict] = {}
     if os.path.isdir(txn_dir):
         for fn in os.listdir(txn_dir):
             if fn.endswith(".json"):
-                committed.add(fn[:-5])
+                with open(os.path.join(txn_dir, fn)) as f:
+                    committed[fn[:-5]] = json.load(f)
     now = time.time()
     for name in catalog.list_tables():
         t = catalog.table(name)
@@ -317,6 +318,29 @@ def recover(catalog: LakeCatalog, grace_sec: float = 300.0) -> list[dict]:
                 shutil.rmtree(d, ignore_errors=True)
             actions.append({"table": name, "version": v, "action": "rolled_back"})
             v += 1
+    # GC txn records whose every flip is complete: once no table's
+    # CURRENT is behind the recorded version, the record carries no
+    # pending roll-forward work and recovery never needs it again
+    # (dropped tables count as complete). Safe because CURRENT is
+    # monotone — a version at or below CURRENT can never return to
+    # the above-CURRENT state that makes recovery consult the record.
+    # Keeps _txns O(in-flight), not O(commit history).
+    for txn_id, rec in committed.items():
+        done = True
+        for rel, v in rec.get("tables", {}).items():
+            meta = os.path.join(catalog.root, rel, "_meta", "CURRENT")
+            try:
+                with open(meta) as f:
+                    cur = int(f.read().strip())
+            except FileNotFoundError:
+                continue
+            if cur < int(v):
+                done = False
+                break
+        if done:
+            os.remove(os.path.join(txn_dir, f"{txn_id}.json"))
+            actions.append({"table": None, "version": None, "action": "gc_txn_record",
+                            "txn": txn_id})
     return actions
 
 

@@ -144,11 +144,26 @@ def test_crash_after_commit_record_rolls_forward(spark, cat):
         json.dump(record, f)
     assert _vals(cat.table("a")) == {"base": 0}  # flips pending
     actions = cat.recover(grace_sec=0.0)
-    assert sorted(a["action"] for a in actions) == ["rolled_forward", "rolled_forward"]
+    assert sorted(a["action"] for a in actions) == [
+        "gc_txn_record", "rolled_forward", "rolled_forward"
+    ]
     assert _vals(cat.table("a")) == {"base": 0, "x": 1}
     assert _vals(cat.table("b")) == {"base": 0, "y": 2}
-    # recovery is idempotent
+    # recovery is idempotent (and the completed record was GC'd)
     assert cat.recover(grace_sec=0.0) == []
+    assert os.listdir(os.path.join(cat.root, "_txns")) == []
+
+
+def test_recover_gcs_completed_txn_records(spark, cat):
+    """A committed txn's record is pending-work bookkeeping; once every
+    flip is complete, recover() drops it so _txns stays O(in-flight)."""
+    with cat.begin() as txn:
+        txn.table("a").merge_cdc(_src(spark, [("x", 1, "insert", 10)]))
+    assert len(os.listdir(os.path.join(cat.root, "_txns"))) == 1
+    actions = cat.recover(grace_sec=3600)
+    assert [a["action"] for a in actions] == ["gc_txn_record"]
+    assert os.listdir(os.path.join(cat.root, "_txns")) == []
+    assert _vals(cat.table("a")) == {"base": 0, "x": 1}
 
 
 def test_rollback_preserves_carried_forward_base_dirs(spark, cat):
