@@ -343,6 +343,40 @@ def main() -> int:
         ("Join-view sync feed: broadcast semi probe, no fact shuffle", p15, checks15)
     )
 
+    # 16. MOR snapshot read + key predicate: Catalyst pushes a filter
+    # on the resolve window's PARTITION keys below the window, through
+    # the base∪delta union, into every parquet scan — so a keyed scan
+    # of a 100-TB MOR table reads only matching row groups (blooms +
+    # min/max) on base AND delta files, then resolves just those rows.
+    m16 = LakeTable.create(
+        spark, os.path.join(root, "m16"),
+        T.StructType([T.StructField("k", T.StringType(), True),
+                      T.StructField("v", T.StringType(), True)]),
+        ["k"], n_buckets=4, write_mode="mor",
+    )
+    m16.merge_cdc(spark.createDataFrame([("a", "1", "insert", 1), ("b", "2", "insert", 2)],
+                                        "k string, v string, op string, seq long"))
+    m16.merge_cdc(spark.createDataFrame([("a", "9", "update", 3), ("c", "3", "insert", 4)],
+                                        "k string, v string, op string, seq long"))
+    p16 = plan_of(m16.read().filter(F.col("k") == "a"))
+    checks16 = []
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p16))
+    n_pushed = p16.count("EqualTo(k,a)")
+    if n_scans >= 1 and n_pushed >= n_scans:
+        checks16.append(f"OK key EqualTo pushed into all {n_scans} scan(s) — "
+                        "base + delta paths coalesce into one scan when their "
+                        "schema ids match, and the filter sits beneath the "
+                        "resolve window")
+    else:
+        failures.append(f"mor read: key filter pushed to {n_pushed}/{n_scans} scans")
+    if "Window" in p16:
+        checks16.append("OK read-time resolve present above the filtered scans")
+    else:
+        failures.append("mor read: resolve window missing from plan")
+    sections.append(
+        ("MOR keyed read: filter below the resolve window into every scan", p16, checks16)
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
