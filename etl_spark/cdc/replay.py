@@ -165,6 +165,7 @@ def apply_batch(
     salted: bool | str = False,
     salt_threshold: int = 2_000_000,
     salt_sample_mod: int = 20,
+    max_retries: int = 0,
 ) -> dict:
     """MERGE one event batch into a LakeTable.
 
@@ -181,7 +182,17 @@ def apply_batch(
     for batches whose hottest key exceeds ``salt_threshold`` rows —
     beyond-reducer-capacity skew; everything else stays on the fused
     single-shuffle plan. The decision is recorded in the returned
-    stats under ``salt_decision``."""
+    stats under ``salt_decision``.
+
+    ``max_retries``: optimistic-concurrency retries for multi-writer
+    estates — a losing race against a concurrent writer (another
+    batch job, a maintenance sweep's compact, a txn commit) re-runs
+    the merge against the new CURRENT with randomized backoff; the
+    epoch fence makes a retry of an epoch the winner already
+    committed a skip, never a double-apply. Default 0 preserves
+    fail-fast single-writer behavior."""
+    from etl_spark.lake.table import with_conflict_retry
+
     decision = None
     salt_buckets = 32
     if salted == "auto":
@@ -190,18 +201,21 @@ def apply_batch(
         )
         salted = decision["salted"]
         salt_buckets = decision["salt_buckets"]
-    if table.derived_columns and not salted:
-        ev = canonicalize(events)
-        if "ts" in ev.columns:
-            ev = ev.drop("ts")
-        out = table.merge_cdc(ev, epoch=epoch)
-    else:
+
+    def _merge() -> dict:
+        if table.derived_columns and not salted:
+            ev = canonicalize(events)
+            if "ts" in ev.columns:
+                ev = ev.drop("ts")
+            return table.merge_cdc(ev, epoch=epoch)
         # the salted route goes through the staged path: the two-phase
         # salted reduction pre-shrinks pathologically hot keys BEFORE
         # the merge shuffle (the north rule's explicit mitigation), at
         # the cost of one extra payload pass
         staged = stage_batch(events, salted=bool(salted), salt_buckets=salt_buckets)
-        out = table.merge_cdc(staged, epoch=epoch)
+        return table.merge_cdc(staged, epoch=epoch)
+
+    out = with_conflict_retry(_merge, max_retries)
     if decision is not None:
         out = {**out, "salt_decision": decision}
     return out

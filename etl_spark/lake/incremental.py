@@ -79,25 +79,10 @@ def _with_conflict_retry(body, max_retries: int):
     commit conflict the ENTIRE body re-runs (the body reads dst state
     — watermark, current aggregates — so retrying only the inner merge
     would replay a stale snapshot; recomputation is the correct unit).
-    Safe because each body attempt is itself exactly-once (atomic
-    watermark + epoch fence). Randomized exponential backoff between
-    attempts de-synchronizes concurrent syncs racing the same dst —
-    without it two writers can burn all retries in lockstep and raise
-    spuriously (standard optimistic-commit retry shape)."""
-    import random
-    import time as _time
+    Shared loop lives beside CommitConflictError (lake/table.py)."""
+    from etl_spark.lake.table import with_conflict_retry
 
-    from etl_spark.lake.table import CommitConflictError
-
-    last: Exception | None = None
-    for attempt in range(max_retries + 1):
-        try:
-            return body()
-        except CommitConflictError as e:
-            last = e
-            if attempt < max_retries:
-                _time.sleep(random.uniform(0.05, 0.2) * (2 ** attempt))
-    raise last  # type: ignore[misc]
+    return with_conflict_retry(body, max_retries)
 
 
 def sync(

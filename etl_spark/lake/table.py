@@ -68,6 +68,30 @@ class CommitConflictError(RuntimeError):
     concurrency, Iceberg-style): re-read CURRENT and retry the merge."""
 
 
+def with_conflict_retry(body, max_retries: int):
+    """Optimistic-concurrency loop: re-run ``body`` on
+    CommitConflictError, up to ``max_retries`` times, with randomized
+    exponential backoff. The body must re-read table state on each
+    attempt (``merge_cdc`` re-reads CURRENT at entry) and be
+    idempotent per attempt (epoch fence / atomic watermark), so a
+    retry REBASES onto the winning writer's commit instead of
+    replaying a stale snapshot — and if the winner committed the same
+    epoch, the fence turns the retry into a skip. The backoff is
+    randomized so two writers racing the same table de-synchronize
+    instead of burning every retry in lockstep."""
+    import random
+
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            return body()
+        except CommitConflictError as e:
+            last = e
+            if attempt < max_retries:
+                time.sleep(random.uniform(0.05, 0.2) * (2 ** attempt))
+    raise last  # type: ignore[misc]
+
+
 class ExpiredVersionError(FileNotFoundError):
     """The requested version's manifest was removed by
     ``expire_versions`` — e.g. a change-feed ``v_from`` older than the
@@ -1111,14 +1135,10 @@ class LakeTable:
         loser's files are orphans, never clobbering the winner's) and
         (b) the merge itself is idempotent per epoch/content. This is
         the retry contract Iceberg commits document; the epoch fence
-        makes a retried-but-actually-committed epoch a no-op."""
-        last: Exception | None = None
-        for _ in range(max_retries + 1):
-            try:
-                return self.merge_cdc(source, **kw)
-            except CommitConflictError as e:
-                last = e  # manifest re-read happens inside merge_cdc
-        raise last  # type: ignore[misc]
+        makes a retried-but-actually-committed epoch a no-op.
+        Manifest re-read happens inside merge_cdc; the shared loop
+        adds randomized backoff so racing writers de-synchronize."""
+        return with_conflict_retry(lambda: self.merge_cdc(source, **kw), max_retries)
 
     def upsert(self, source: DataFrame, epoch=None) -> dict:
         """Generic keyed upsert (source wins; no deletes) — the

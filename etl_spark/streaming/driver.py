@@ -136,6 +136,7 @@ class CdcStream:
         keep_versions: int = 4,
         compact_deltas_over: int = 8,
         downstream=None,
+        merge_retries: int = 2,
     ):
         """``maintain_every``: every N applied epochs run maintenance —
         expire data dirs of versions older than ``keep_versions`` and,
@@ -152,7 +153,14 @@ class CdcStream:
         own atomic watermark, so a crash between the merge and a hook
         only defers that hook's work to the next epoch — the pipeline
         stays exactly-once end to end. Hooks run in order, so a hook
-        may chain further hops (src -> derived -> aggregate)."""
+        may chain further hops (src -> derived -> aggregate).
+
+        ``merge_retries``: optimistic-concurrency retries when the
+        merge loses a version race to an out-of-band writer (an
+        operator's maintain_all compact, a catalog txn) — the retry
+        rebases on the new CURRENT; the epoch fence keeps it
+        exactly-once. The stream's own maintenance runs in-loop and
+        never races itself."""
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.salted = salted
@@ -161,6 +169,7 @@ class CdcStream:
         self.keep_versions = keep_versions
         self.compact_deltas_over = compact_deltas_over
         self.downstream = list(downstream or [])
+        self.merge_retries = merge_retries
         self._applied_since_maintain = 0
 
     @property
@@ -273,10 +282,15 @@ class CdcStream:
             src = can
         else:
             src = R.with_content_sha256(R.dedup_latest(can))
-        out = self.table.merge_cdc(
-            src,
-            epoch=epoch,
-            extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
+        from etl_spark.lake.table import with_conflict_retry
+
+        out = with_conflict_retry(
+            lambda: self.table.merge_cdc(
+                src,
+                epoch=epoch,
+                extra_manifest={"epoch_committed": int(epoch), "batch_digest": digest},
+            ),
+            self.merge_retries,
         )
         self._maybe_maintain()
         self._run_downstream()

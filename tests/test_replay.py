@@ -181,3 +181,61 @@ def test_auto_salt_pathological_flips_and_matches(spark, repos_schema, tmp_path)
     assert stats["salt_decision"]["est_top_key_rows"] == n
     exp = oracle_final_state(hot.toPandas())[COLS].reset_index(drop=True)
     pd.testing.assert_frame_equal(_final(tbl), exp, check_dtype=False)
+
+
+def test_with_conflict_retry_rebases_and_exhausts():
+    """Shared OCC loop: retries only CommitConflictError, returns the
+    first success, re-raises after exhaustion."""
+    from etl_spark.lake.table import CommitConflictError, with_conflict_retry
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise CommitConflictError("lost the race")
+        return "ok"
+
+    assert with_conflict_retry(flaky, max_retries=5) == "ok"
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+    with pytest.raises(CommitConflictError):
+        with_conflict_retry(flaky, max_retries=1)  # 2 attempts < 3 needed
+    assert calls["n"] == 2
+
+    def boom():
+        raise ValueError("not a conflict")
+
+    with pytest.raises(ValueError):  # other errors never retried
+        with_conflict_retry(boom, max_retries=5)
+
+
+def test_apply_batch_conflict_retry(spark, repos_schema, tmp_path, monkeypatch):
+    """apply_batch(max_retries=) rebases a lost version race: the first
+    merge attempt conflicts (simulated out-of-band writer), the retry
+    applies cleanly, and default max_retries=0 stays fail-fast."""
+    from etl_spark.lake.table import CommitConflictError
+
+    ev = generate_events(spark, 500)
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema,
+                           ["repo", "path"], n_buckets=4)
+    real = tbl.merge_cdc
+    calls = {"n": 0}
+
+    def flaky(src, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CommitConflictError("simulated concurrent commit")
+        return real(src, **kw)
+
+    monkeypatch.setattr(tbl, "merge_cdc", flaky)
+    with pytest.raises(CommitConflictError):
+        R.apply_batch(tbl, ev, epoch=0)  # default: fail fast
+    calls["n"] = 0
+    out = R.apply_batch(tbl, ev, epoch=0, max_retries=2)
+    assert calls["n"] == 2 and out["skipped"] is False
+    exp = oracle_final_state(ev.toPandas())[COLS].reset_index(drop=True)
+    got = (tbl.read().select(COLS).orderBy("repo", "path")
+           .toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
