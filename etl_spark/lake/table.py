@@ -1626,6 +1626,37 @@ class LakeTable:
               "committed_at": time.time(), "note": "set_column_docs"}
         return self._commit(m2)
 
+    def patch_metadata_from_yaml(
+        self, text: str, table_name: str | None = None,
+        extra_variables: str = "raise",
+    ) -> int:
+        """The reference's .meta.yml sidecar patching applied to the
+        lake (Table.update_metadata_from_yaml tables.py:447-490 +
+        Dataset.update_metadata datasets.py:186-204): per-variable
+        annotations merge into ``column_docs`` and table-level fields
+        into ``properties``, in ONE metadata-only atomic commit — the
+        patch is transactional with the table state exactly as the
+        reference re-saves the dataset after patching. ``table_name``
+        defaults to this table's directory name; unknown variables
+        raise unless ``extra_variables="ignore"``. YAML anchors and
+        ``<< name >>`` templates against a ``definitions:`` block are
+        the reuse mechanisms (dynamic_yaml analog)."""
+        from etl_spark.meta import load_yaml_annotations
+
+        m = self.manifest()
+        names = {f["name"] for f in m["schemas"][m["current_schema_id"]]["fields"]}
+        col_annots, table_annot = load_yaml_annotations(
+            text, table_name or os.path.basename(self.root), names, extra_variables
+        )
+        docs = dict(m.get("column_docs", {}))
+        for c, annot in col_annots.items():
+            docs[c] = {**docs.get(c, {}), **annot}
+        m2 = {**m, "version": m["version"] + 1, "parent": m["version"],
+              "column_docs": docs,
+              "properties": {**m.get("properties", {}), **table_annot},
+              "committed_at": time.time(), "note": "patch_metadata_from_yaml"}
+        return self._commit(m2)
+
     # ---------- maintenance ----------
 
     def rebucket(self, n_buckets: int) -> int:

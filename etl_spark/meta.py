@@ -352,3 +352,107 @@ class MetaFrame:
                 [self.meta[p] for p in ps if p in self.meta], "groupby", name, ps
             )
         return self._wrap(out, meta)
+
+    def update_from_yaml(
+        self, text: str, table_name: str, extra_variables: str = "raise"
+    ) -> tuple["MetaFrame", dict]:
+        """The reference's Table.update_metadata_from_yaml
+        (tables.py:447-490): patch this frame's column metadata from a
+        .meta.yml document. Returns (patched MetaFrame, table-level
+        annotations) — table-level fields have no home on a DataFrame
+        and belong to the caller's dataset/properties layer."""
+        col_annots, table_annot = load_yaml_annotations(
+            text, table_name, set(self.df.columns), extra_variables
+        )
+        meta = {c: m.copy() for c, m in self.meta.items()}
+        for c, annot in col_annots.items():
+            meta[c] = patch_column_meta(meta.get(c, ColumnMeta()), annot)
+        return self._wrap(self.df, meta), table_annot
+
+
+# ---------------------------------------------------------------------------
+# .meta.yml patching — the reference's post-hoc metadata annotation
+# (lib/catalog/owid/catalog/tables.py:447-490 update_metadata_from_yaml,
+# datasets.py:186-204 update_metadata, meta.py:389-419 update_from_yaml):
+# step authors override titles/units/descriptions from a YAML sidecar,
+# applied after the data exists. Document shape:
+#
+#   definitions:            # optional; << name >> templates in string
+#     attribution: OWID     # values expand against this mapping, and
+#   tables:                 # YAML anchors/aliases (& / *) give the
+#     my_table:             # reuse dynamic_yaml provides the reference
+#       title: Nice table
+#       variables:
+#         my_col:
+#           title: Nice column
+#           unit: tonnes
+# ---------------------------------------------------------------------------
+
+
+def load_yaml_annotations(
+    text: str,
+    table_name: str,
+    columns: set[str],
+    extra_variables: str = "raise",
+) -> tuple[dict[str, dict], dict]:
+    """Parse a .meta.yml document for one table: returns
+    ``({column: {field: value}}, {table-level field: value})``.
+    Unknown variable names raise (``extra_variables="ignore"`` to
+    skip them — the reference's exact knob, tables.py:448)."""
+    import yaml
+
+    doc = yaml.safe_load(text) or {}
+    tables = doc.get("tables") or {}
+    if table_name not in tables:
+        raise ValueError(f"no annotations for table {table_name!r} "
+                         f"(has {sorted(tables)})")
+    t_annot = tables[table_name] or {}
+    variables = t_annot.get("variables") or {}
+    extra = set(variables) - set(columns)
+    if extra and extra_variables == "raise":
+        raise ValueError(f"table {table_name!r} has extra variables: {sorted(extra)}")
+    defs = doc.get("definitions") or {}
+
+    def _expand(v: Any) -> Any:
+        from etl_spark.ops.wide import expand_template
+
+        if isinstance(v, str):
+            return expand_template(v, defs)
+        if isinstance(v, dict):
+            return {k: _expand(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_expand(x) for x in v]
+        return v
+
+    col_annots = {
+        c: {k: _expand(v) for k, v in (annot or {}).items()}
+        for c, annot in variables.items()
+        if c in columns
+    }
+    table_annot = {k: _expand(v) for k, v in t_annot.items() if k != "variables"}
+    return col_annots, table_annot
+
+
+def _coerce_names(values: Any) -> list[str]:
+    """sources/origins/licenses may arrive as strings or as the
+    reference's object form ({name: ..., url: ...}); keep the name."""
+    out = []
+    for v in values or []:
+        out.append(v.get("name", str(v)) if isinstance(v, dict) else str(v))
+    return out
+
+
+def patch_column_meta(meta: ColumnMeta, annot: dict) -> ColumnMeta:
+    """Apply one variable's YAML annotations onto a ColumnMeta (only
+    fields the model knows; list fields replace, mirroring setattr in
+    the reference's update loop, tables.py:471-479)."""
+    out = meta.copy()
+    for k, v in annot.items():
+        if k in ("sources", "origins", "licenses"):
+            setattr(out, k, _coerce_names(v))
+        elif k in ("title", "description", "unit", "short_unit", "display",
+                   "processing_level"):
+            setattr(out, k, v)
+        else:
+            raise ValueError(f"unknown variable metadata field {k!r}")
+    return out

@@ -1258,3 +1258,42 @@ def test_catalog_maintain_all(spark, tmp_path):
     assert {r["k"] for r in t.read().collect()} == {f"k{i}" for i in range(10)}
     # advice now clean on those axes
     assert cat.maintain_all(compact_deltas_over=4, expire_versions_over=4) == []
+
+
+def test_patch_metadata_from_yaml(spark, tmp_path, repos_schema):
+    """.meta.yml sidecar patching (reference tables.py:447-490 +
+    datasets.py:186-204): one metadata-only atomic commit merges
+    per-variable annotations into column_docs and table-level fields
+    into properties; data files untouched; unknown variables raise."""
+    t = LakeTable.create(spark, str(tmp_path / "repos"), repos_schema,
+                         ["repo", "path"], n_buckets=4)
+    t.merge_cdc(spark.createDataFrame(
+        [("r", "p", "c", "py", "x", "insert", 1)],
+        "repo string, path string, commit string, lang string, content string, "
+        "op string, seq long"))
+    t.set_column_docs(lang={"unit": "iso"})
+    v_before = t.current_version()
+    yml = """
+definitions:
+  org: OWID
+tables:
+  repos:
+    title: Source repos of << org >>
+    variables:
+      lang:
+        title: Language
+      content:
+        description: file body
+"""
+    v = t.patch_metadata_from_yaml(yml)  # table_name defaults to dir name
+    assert v == v_before + 1
+    docs = t.column_docs()
+    # merge, not replace: the pre-existing unit survives the patch
+    assert docs["lang"] == {"unit": "iso", "title": "Language"}
+    assert docs["content"] == {"description": "file body"}
+    assert t.manifest()["properties"]["title"] == "Source repos of OWID"
+    # metadata-only commit: same data, still readable at old version
+    assert t.read().count() == 1 and t.read(version=v_before).count() == 1
+    with pytest.raises(ValueError, match="extra variables"):
+        t.patch_metadata_from_yaml(yml.replace("      lang:", "      ghost:\n"
+                                               "        title: g\n      lang:"))

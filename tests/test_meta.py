@@ -252,3 +252,58 @@ def test_lake_column_docs_integration(spark, tmp_path):
     assert stored["v"]["title"] == "Value" and stored["v"]["sources"] == ["wal"]
     restored = MetaFrame.from_column_docs(t.read(), t.column_docs())
     assert restored.meta["v"].unit == "count"
+
+
+_YAML = """
+definitions:
+  attribution: OWID
+tables:
+  pop:
+    title: Population table
+    description: patched at the table level
+    variables:
+      a:
+        title: Population of << attribution >>
+        unit: people
+        sources:
+          - {name: census, url: http://x}
+          - un
+      b:
+        description: patched b
+"""
+
+
+def test_update_from_yaml_patches_columns_and_returns_table_annots(mf):
+    """tables.py:447-490: per-variable fields patch, templates expand
+    against definitions, object-form sources keep their name, and
+    table-level fields come back to the caller."""
+    out, table_annot = mf.update_from_yaml(_YAML, "pop")
+    a = out.meta["a"]
+    assert a.title == "Population of OWID"
+    assert a.unit == "people"
+    assert a.sources == ["census", "un"]
+    assert a.description == "Desc a"  # untouched fields survive
+    assert out.meta["b"].description == "patched b"
+    assert out.meta["b"].title == "Title of b"
+    assert table_annot == {"title": "Population table",
+                           "description": "patched at the table level"}
+    # the original frame is unchanged (patch returns a new MetaFrame)
+    assert mf.meta["a"].title == "Title of a"
+
+
+def test_update_from_yaml_extra_variables_knob(mf):
+    """Unknown variable names raise by default, pass with "ignore" —
+    the reference's extra_variables knob (tables.py:448, 462-469)."""
+    bad = _YAML.replace("      b:", "      zz:\n        title: ghost\n      b:")
+    with pytest.raises(ValueError, match="extra variables.*zz"):
+        mf.update_from_yaml(bad, "pop")
+    out, _ = mf.update_from_yaml(bad, "pop", extra_variables="ignore")
+    assert out.meta["a"].title == "Population of OWID"
+    with pytest.raises(ValueError, match="no annotations for table"):
+        mf.update_from_yaml(_YAML, "nope")
+
+
+def test_update_from_yaml_rejects_unknown_field(mf):
+    bad = _YAML.replace("unit: people", "not_a_field: x")
+    with pytest.raises(ValueError, match="unknown variable metadata field"):
+        mf.update_from_yaml(bad, "pop")
