@@ -227,3 +227,100 @@ def test_txn_create_table_and_schema_evolution(spark, cat):
     assert _vals(cat.table("c")) == {"n": 7}
     got = {r["k"]: (r["v"], r["lang"]) for r in cat.table("a").read().collect()}
     assert got == {"base": (0, None), "x": (1, "py")}
+
+
+# -- publish_dataset: the reference's create_dataset flow --------------
+
+
+def test_publish_dataset_atomic_with_metadata(spark, tmp_path):
+    """create_dataset analog (etl/helpers.py:99-200): validated tables
+    + .meta.yml patch publish as ONE unit; re-publish upserts in place."""
+    from pyspark.sql import Row
+
+    from etl_spark.lake import LakeCatalog, publish_dataset
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    pop = spark.createDataFrame([Row(country="fr", year=2020, population=67),
+                                 Row(country="de", year=2020, population=83)])
+    gdp = spark.createDataFrame([Row(country="fr", year=2020, gdp=2.6)])
+    yml = """
+definitions: {org: OWID}
+tables:
+  population:
+    title: Population (<< org >>)
+    variables:
+      population: {unit: people}
+"""
+    out = publish_dataset(
+        cat, {"population": pop, "gdp": gdp},
+        {"population": ["country", "year"], "gdp": ["country", "year"]},
+        meta_yaml=yml, n_buckets=4,
+    )
+    assert set(out) == {"population", "gdp"}
+    assert {r["country"]: r["population"] for r in cat.table("population").read().collect()} \
+        == {"fr": 67, "de": 83}
+    assert cat.table("population").column_docs()["population"] == {"unit": "people"}
+    assert cat.table("population").manifest()["properties"]["title"] == "Population (OWID)"
+    # idempotent re-publish with a change: keyed upsert, not append
+    pop2 = spark.createDataFrame([Row(country="fr", year=2020, population=68)])
+    publish_dataset(cat, {"population": pop2}, {"population": ["country", "year"]})
+    got = {r["country"]: r["population"] for r in cat.table("population").read().collect()}
+    assert got == {"fr": 68, "de": 83}
+
+
+def test_publish_dataset_validation_aborts_everything(spark, tmp_path):
+    """A failed Dataset.add gate (duplicate PK, NULL keys, bad names)
+    publishes NOTHING — not even the valid sibling tables."""
+    from pyspark.sql import Row
+
+    from etl_spark.lake import DatasetValidationError, LakeCatalog, publish_dataset
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    ok = spark.createDataFrame([Row(k="a", v=1)])
+    dup = spark.createDataFrame([Row(k="x", v=1), Row(k="x", v=2)])
+    with pytest.raises(DatasetValidationError, match="not unique"):
+        publish_dataset(cat, {"good": ok, "bad": dup},
+                        {"good": ["k"], "bad": ["k"]}, n_buckets=2)
+    assert cat.list_tables() == [] or all(
+        cat.table(n).read().count() == 0 for n in cat.list_tables())
+    nullk = spark.createDataFrame([Row(k=None, v=1)], "k string, v int")
+    with pytest.raises(DatasetValidationError, match="NULL key"):
+        publish_dataset(cat, {"t": nullk}, {"t": ["k"]}, n_buckets=2)
+    with pytest.raises(DatasetValidationError, match="underscored"):
+        publish_dataset(cat, {"BadName": ok}, {"BadName": ["k"]}, n_buckets=2)
+    with pytest.raises(DatasetValidationError, match="key columns absent"):
+        publish_dataset(cat, {"t": ok}, {"t": ["nope"]}, n_buckets=2)
+
+
+def test_publish_dataset_crash_between_tables_publishes_nothing(spark, tmp_path, monkeypatch):
+    """Simulated crash after the first table's prepare: neither table
+    is visible, and recover() past grace unblocks the claims."""
+    from pyspark.sql import Row
+
+    from etl_spark.lake import LakeCatalog
+    from etl_spark.lake import dataset as D
+
+    cat = LakeCatalog(spark, str(tmp_path / "cat"))
+    a = spark.createDataFrame([Row(k="a", v=1)])
+    b = spark.createDataFrame([Row(k="b", v=2)])
+
+    real_upsert = D.LakeTable.upsert
+    calls = {"n": 0}
+
+    def crashing(self, source, epoch=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash")
+        return real_upsert(self, source, epoch=epoch)
+
+    monkeypatch.setattr(D.LakeTable, "upsert", crashing)
+    with pytest.raises(OSError):
+        D.publish_dataset(cat, {"t1": a, "t2": b}, {"t1": ["k"], "t2": ["k"]},
+                          n_buckets=2)
+    monkeypatch.undo()
+    for n in cat.list_tables():
+        assert cat.table(n).read().count() == 0
+    cat.recover(grace_sec=0.0)
+    # catalog fully usable after recovery
+    D.publish_dataset(cat, {"t1": a}, {"t1": ["k"]}, n_buckets=2)
+    assert cat.table("t1").read().count() == 1
