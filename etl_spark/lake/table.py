@@ -1657,6 +1657,29 @@ class LakeTable:
               "committed_at": time.time(), "note": "patch_metadata_from_yaml"}
         return self._commit(m2)
 
+    def export_metadata_yaml(self, table_name: str | None = None) -> str:
+        """Inverse of ``patch_metadata_from_yaml`` — the reference's
+        ``etl-metadata-export`` (etl/metadata_export.py: dump a
+        dataset's table + column metadata as a ``.meta.yml`` starting
+        point for manual editing). Emits the exact document shape the
+        patch accepts, so export → edit → patch round-trips. Columns
+        without docs are emitted as empty stubs (the export exists to
+        be filled in); engine-internal columns are omitted."""
+        import yaml
+
+        m = self.manifest()
+        internal = {m["seq_col"], "_deleted", "_cv"}
+        docs = m.get("column_docs", {})
+        variables = {
+            f["name"]: dict(docs.get(f["name"], {}))
+            for f in m["schemas"][m["current_schema_id"]]["fields"]
+            if f["name"] not in internal
+        }
+        t_annot: dict = {k: v for k, v in m.get("properties", {}).items()}
+        t_annot["variables"] = variables
+        doc = {"tables": {table_name or os.path.basename(self.root): t_annot}}
+        return yaml.safe_dump(doc, sort_keys=False, allow_unicode=True)
+
     # ---------- maintenance ----------
 
     def rebucket(self, n_buckets: int) -> int:

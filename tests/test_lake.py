@@ -1297,3 +1297,31 @@ tables:
     with pytest.raises(ValueError, match="extra variables"):
         t.patch_metadata_from_yaml(yml.replace("      lang:", "      ghost:\n"
                                                "        title: g\n      lang:"))
+
+
+def test_export_metadata_yaml_round_trips(spark, tmp_path, repos_schema):
+    """etl-metadata-export analog: export emits the exact .meta.yml
+    shape patch accepts — export -> edit -> patch round-trips."""
+    import yaml
+
+    t = LakeTable.create(spark, str(tmp_path / "repos"), repos_schema,
+                         ["repo", "path"], n_buckets=4)
+    t.patch_metadata_from_yaml("""
+tables:
+  repos:
+    title: Repos
+    variables:
+      lang: {title: Language, unit: iso}
+""")
+    out = t.export_metadata_yaml()
+    doc = yaml.safe_load(out)
+    assert doc["tables"]["repos"]["title"] == "Repos"
+    vs = doc["tables"]["repos"]["variables"]
+    assert vs["lang"] == {"title": "Language", "unit": "iso"}
+    assert vs["content"] == {}          # undocumented column -> stub to fill
+    assert "last_seq" not in vs and "_deleted" not in vs  # internals omitted
+    # edit the export, patch it back
+    doc["tables"]["repos"]["variables"]["content"]["title"] = "File body"
+    t.patch_metadata_from_yaml(yaml.safe_dump(doc))
+    assert t.column_docs()["content"]["title"] == "File body"
+    assert t.column_docs()["lang"] == {"title": "Language", "unit": "iso"}
