@@ -191,3 +191,57 @@ def table_checksum(df: DataFrame) -> str:
         .first()["d"]
     )
     return format((v or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+
+
+def suggest_column_mapping(
+    old_names: Sequence[str],
+    new_names: Sequence[str],
+    max_suggestions: int = 5,
+    match_identical: bool = True,
+    min_score: float = 0.0,
+) -> dict:
+    """Non-interactive core of the reference's variable-matching tool
+    (/root/reference/etl/match_variables.py:155-188): map the columns
+    of an old table version onto a new one when names drifted.
+
+    Identical names auto-map first (``match_identical``); every
+    remaining old name gets up to ``max_suggestions`` ranked fuzzy
+    candidates from the remaining new names. Scoring is a stdlib
+    re-expression of the reference's rapidfuzz ``token_sort_ratio``:
+    difflib ratio over the underscore-token-sorted forms, averaged
+    with the raw-string ratio so both token permutations ("gdp_per
+    capita" vs "per_capita_gdp") and small edits rank high.
+    Deterministic: ties break lexicographically.
+
+    Driver-side over column-name lists (bounded by schema width, never
+    data). Returns {"mapped": {old: new}, "suggestions":
+    {old: [(new, score), ...]}, "unmatched_new": [...]}.
+    """
+    import difflib
+    import re as _re
+
+    def _tokens(s: str) -> str:
+        return " ".join(sorted(t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t))
+
+    def _score(a: str, b: str) -> float:
+        raw = difflib.SequenceMatcher(None, a.lower(), b.lower()).ratio()
+        tok = difflib.SequenceMatcher(None, _tokens(a), _tokens(b)).ratio()
+        return round((raw + tok) / 2, 4)
+
+    old_rest = list(dict.fromkeys(old_names))
+    new_rest = list(dict.fromkeys(new_names))
+    mapped: dict[str, str] = {}
+    if match_identical:
+        for n in list(old_rest):
+            if n in new_rest:
+                mapped[n] = n
+                old_rest.remove(n)
+                new_rest.remove(n)
+    suggestions: dict[str, list[tuple[str, float]]] = {}
+    for o in old_rest:
+        ranked = sorted(
+            ((n, _score(o, n)) for n in new_rest),
+            key=lambda t: (-t[1], t[0]),
+        )
+        suggestions[o] = [(n, s) for n, s in ranked[:max_suggestions] if s >= min_score]
+    return {"mapped": mapped, "suggestions": suggestions, "unmatched_new": new_rest}

@@ -482,3 +482,28 @@ def test_tfidf_top_terms_rank_and_ties(spark):
     # doc 3 has only a zero-idf term; it still appears, ranked 1
     assert rows[(3, 1)][0] == "common"
     assert out.filter("tfidf < 0").count() == 0
+
+
+def test_suggest_column_mapping():
+    """match_variables analog (etl/match_variables.py:155-188):
+    identical names auto-map, drifted names get ranked fuzzy
+    suggestions, deterministic ordering."""
+    from etl_spark.ops.diff import suggest_column_mapping
+
+    out = suggest_column_mapping(
+        ["country", "gdp_per_capita", "population"],
+        ["country", "per_capita_gdp", "pop_total", "life_expectancy"],
+    )
+    assert out["mapped"] == {"country": "country"}
+    # token-permuted name ranks first despite heavy reordering
+    assert out["suggestions"]["gdp_per_capita"][0][0] == "per_capita_gdp"
+    assert out["suggestions"]["gdp_per_capita"][0][1] > 0.8
+    assert out["suggestions"]["population"][0][0] == "pop_total"
+    assert set(out["unmatched_new"]) == {"per_capita_gdp", "pop_total", "life_expectancy"}
+    # min_score filters noise; max_suggestions caps the list
+    strict = suggest_column_mapping(
+        ["population"], ["life_expectancy"], min_score=0.9)
+    assert strict["suggestions"]["population"] == []
+    capped = suggest_column_mapping(
+        ["x"], ["x1", "x2", "x3"], max_suggestions=2)
+    assert len(capped["suggestions"]["x"]) == 2
