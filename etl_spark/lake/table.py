@@ -63,6 +63,11 @@ def _max_opt(a, b):
     return max(int(a), int(b))
 
 
+class ConstraintViolationError(ValueError):
+    """A merge/compact staged live rows that fail a table CHECK
+    constraint; the commit was aborted and the table is unchanged."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first (optimistic
     concurrency, Iceberg-style): re-read CURRENT and retry the merge."""
@@ -245,6 +250,7 @@ class LakeTable:
         write_mode: str = "cow",
         bloom_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "LakeTable":
         """``derived`` declares engine-maintained columns computed on
         merge winners, e.g. {"content_sha256": ("sha256", "content")}.
@@ -272,7 +278,15 @@ class LakeTable:
         predicates on it; with clustering the row groups cover
         narrow disjoint ranges and Spark's pushed filters skip them
         (ZORDER-lite, one dimension). Opt in for the timestamp-ish
-        column your scans range over."""
+        column your scans range over.
+
+        ``constraints``: named CHECK expressions ({name: SQL boolean
+        expr}) every LIVE row must satisfy (Delta CHECK-constraint
+        analog; NULL satisfies, per SQL). Enforcement is FUSED into
+        the post-write stats scan every rewrite already does, so the
+        happy path costs zero extra passes; a violating batch aborts
+        before the manifest commit and the table is untouched. See
+        ``add_constraint`` for constraining existing tables."""
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
         t = cls(spark, root)
@@ -310,6 +324,7 @@ class LakeTable:
             "write_mode": write_mode,
             "bloom_cols": list(bloom_cols or []),
             "sort_cols": list(sort_cols or []),
+            "constraints": dict(constraints or {}),
             "deltas": [],
             "max_seq": None,
             "committed_at": time.time(),
@@ -641,6 +656,55 @@ class LakeTable:
 
     # ---------- schema DDL ----------
 
+    @staticmethod
+    def _refuse_if_constrained(m: dict, col: str, action: str) -> None:
+        """Renaming/dropping a column a CHECK expression references
+        would silently break enforcement (Delta blocks this too)."""
+        import re as _re
+
+        hits = [n for n, e in m.get("constraints", {}).items()
+                if _re.search(rf"\b{_re.escape(col)}\b", e)]
+        if hits:
+            raise SchemaEvolutionError(
+                f"cannot {action} column {col!r}: referenced by CHECK "
+                f"constraint(s) {hits}; drop_constraint first"
+            )
+
+    def constraints(self) -> dict[str, str]:
+        return dict(self.manifest().get("constraints", {}))
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT (Delta CHECK analog): validate
+        EXISTING live rows in one aggregation (violations block the
+        DDL — a constraint must never be born broken), then record the
+        expression in a metadata-only commit. Every later merge /
+        compact / rebucket enforces it inside its stats pass."""
+        m = self.manifest()
+        if name in m.get("constraints", {}):
+            raise ValueError(f"constraint exists: {name}")
+        bad = self.read().filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add {name!r}: {bad} existing rows violate {expr!r}"
+            )
+        m2 = {**m, "version": m["version"] + 1, "parent": m["version"],
+              "constraints": {**m.get("constraints", {}), name: expr},
+              "committed_at": time.time(), "note": f"add constraint {name}"}
+        return self._commit(m2)
+
+    def drop_constraint(self, name: str) -> int:
+        m = self.manifest()
+        cons = dict(m.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no such constraint: {name}")
+        cons.pop(name)
+        m2 = {**m, "version": m["version"] + 1, "parent": m["version"],
+              "constraints": cons,
+              "committed_at": time.time(), "note": f"drop constraint {name}"}
+        return self._commit(m2)
+
     def rename_column(self, old: str, new: str) -> None:
         """Explicit rename DDL — METADATA-ONLY, like Iceberg's
         field-id rename: no data file is touched or rewritten. The new
@@ -657,6 +721,7 @@ class LakeTable:
             raise SchemaEvolutionError(f"column exists: {new}")
         if old in (m["seq_col"], _DELETED) or old in m["key_cols"]:
             raise SchemaEvolutionError(f"cannot rename key/internal column: {old}")
+        self._refuse_if_constrained(m, old, "rename")
         new_schema = T.StructType(
             [T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
              for f in cur.fields]
@@ -692,6 +757,7 @@ class LakeTable:
             raise SchemaEvolutionError(f"no such column: {name}")
         if name in (m["seq_col"], _DELETED, _CV) or name in m["key_cols"]:
             raise SchemaEvolutionError(f"cannot drop key/internal column: {name}")
+        self._refuse_if_constrained(m, name, "drop")
         for dst, (fn, srccol) in m.get("derived", {}).items():
             if name in (dst, srccol):
                 raise SchemaEvolutionError(
@@ -793,10 +859,31 @@ class LakeTable:
             if _CV in back.columns:
                 sel.append(F.col(_CV).alias("__cv"))
                 aggs.append(F.max("__cv").alias("cv"))
+            # CHECK constraints ride the same scan (zero extra passes):
+            # a LIVE row violates when its expr is FALSE (NULL passes,
+            # per SQL); tombstones are exempt by construction
+            cons = list(self.manifest().get("constraints", {}).items())
+            for i, (_cname, cexpr) in enumerate(cons):
+                sel.append(
+                    ((~F.coalesce(F.expr(cexpr), F.lit(True))) & ~dead)
+                    .cast("long").alias(f"__viol{i}")
+                )
+                aggs.append(F.sum(f"__viol{i}").alias(f"viol{i}"))
             counts = {
                 int(r["b"]): r.asDict()
                 for r in back.select(*sel).groupBy("b").agg(*aggs).collect()
             }
+            violations = {
+                cname: n
+                for i, (cname, _e) in enumerate(cons)
+                if (n := sum(int(r.get(f"viol{i}") or 0) for r in counts.values()))
+            }
+            if violations:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ConstraintViolationError(
+                    f"CHECK constraint(s) violated, commit aborted: "
+                    f"{violations} (rows per constraint)"
+                )
         else:
             counts = {}
         for b, ent in out.items():
@@ -953,17 +1040,37 @@ class LakeTable:
                 out[d.split("=")[1]] = {"path": os.path.join(delta_dir, d)}
         # per-bucket seq stats from the just-written delta: a
         # column-pruned scan of seq + the partition value only (keeps
-        # ingest O(batch)); every delta row is new, so max_cv == v
+        # ingest O(batch)); every delta row is new, so max_cv == v.
+        # CHECK constraints ride this same scan (live rows only).
         if out:
+            back = self.spark.read.parquet(delta_dir)
+            dead = (
+                F.coalesce(F.col(_DELETED), F.lit(False))
+                if _DELETED in back.columns else F.lit(False)
+            )
+            sel = [F.col(_BUCKET).alias("b"), F.col(seq).alias("__seq")]
+            aggs = [F.min("__seq").alias("mn"), F.max("__seq").alias("mx"),
+                    F.count(F.lit(1)).alias("n")]
+            cons = list(m.get("constraints", {}).items())
+            for i, (_cname, cexpr) in enumerate(cons):
+                sel.append(((~F.coalesce(F.expr(cexpr), F.lit(True))) & ~dead)
+                           .cast("long").alias(f"__viol{i}"))
+                aggs.append(F.sum(f"__viol{i}").alias(f"viol{i}"))
             stats = {
                 int(r["b"]): r
-                for r in self.spark.read.parquet(delta_dir)
-                .select(F.col(_BUCKET).alias("b"), F.col(seq).alias("__seq"))
-                .groupBy("b")
-                .agg(F.min("__seq").alias("mn"), F.max("__seq").alias("mx"),
-                     F.count(F.lit(1)).alias("n"))
-                .collect()
+                for r in back.select(*sel).groupBy("b").agg(*aggs).collect()
             }
+            violations = {
+                cname: n
+                for i, (cname, _e) in enumerate(cons)
+                if (n := sum(int(r[f"viol{i}"] or 0) for r in stats.values()))
+            }
+            if violations:
+                shutil.rmtree(delta_dir, ignore_errors=True)
+                raise ConstraintViolationError(
+                    f"CHECK constraint(s) violated, commit aborted: "
+                    f"{violations} (rows per constraint)"
+                )
             for b, ent in out.items():
                 r = stats.get(int(b))
                 if r is not None and r["mx"] is not None:
