@@ -2060,6 +2060,36 @@ class LakeCatalog:
     def exists(self, name: str) -> bool:
         return LakeTable.exists(os.path.join(self.root, name))
 
+    def drop_table(self, name: str, force: bool = False) -> None:
+        """DROP TABLE: delete the table's directory (data + metadata)
+        after safety gates. Refused while retention pins exist — pins
+        mark live consumers (clones, incremental syncs, stream feeds)
+        whose reads would break when the files vanish — and while a
+        transaction holds a prepared (claimed-but-unflipped) version.
+        ``force=True`` overrides the pin gate (never the txn gate:
+        dropping under an in-flight prepare corrupts the commit
+        protocol, not just a consumer)."""
+        root = os.path.join(self.root, name)
+        if not LakeTable.exists(root):
+            raise FileNotFoundError(f"no table {name!r} in {self.root}")
+        t = LakeTable(self.spark, root)
+        v = t.current_version() + 1
+        while os.path.exists(os.path.join(t._meta_dir, f"v{v}.json")):
+            with open(os.path.join(t._meta_dir, f"v{v}.json")) as f:
+                if json.load(f).get("txn") is not None:
+                    raise RuntimeError(
+                        f"table {name!r} has a prepared transaction version "
+                        f"v{v}; commit/abort it (or recover()) first"
+                    )
+            v += 1
+        pins = t.pins()
+        if pins and not force:
+            raise RuntimeError(
+                f"table {name!r} is pinned by consumers {sorted(pins)}; "
+                "release them or pass force=True"
+            )
+        shutil.rmtree(root)
+
     def list_tables(self) -> list[str]:
         return sorted(
             d for d in os.listdir(self.root) if LakeTable.exists(os.path.join(self.root, d))

@@ -1325,3 +1325,32 @@ tables:
     t.patch_metadata_from_yaml(yaml.safe_dump(doc))
     assert t.column_docs()["content"]["title"] == "File body"
     assert t.column_docs()["lang"] == {"title": "Language", "unit": "iso"}
+
+
+def test_drop_table_gates_and_removes(spark, tmp_path, repos_schema):
+    """DROP TABLE: pin gate (consumers), txn gate (prepared versions),
+    then full removal."""
+    from etl_spark.lake import LakeCatalog as _LC
+
+    cat = _LC(spark, str(tmp_path / "cat"))
+    t = cat.create_table("t", repos_schema, ["repo", "path"], n_buckets=4)
+    t.merge_cdc(spark.createDataFrame(
+        [("r", "p", "c", "py", "x", "insert", 1)],
+        "repo string, path string, commit string, lang string, content string, "
+        "op string, seq long"), epoch=0)
+    clone = t.clone(str(tmp_path / "dev"))  # registers a pin on the source
+    with pytest.raises(RuntimeError, match="pinned by consumers"):
+        cat.drop_table("t")
+    txn = cat.begin()
+    txn.table("t").merge_cdc(spark.createDataFrame(
+        [("r2", "p2", "c", "py", "y", "insert", 2)],
+        "repo string, path string, commit string, lang string, content string, "
+        "op string, seq long"))
+    with pytest.raises(RuntimeError, match="prepared transaction"):
+        cat.drop_table("t", force=True)  # txn gate is never forceable
+    txn.abort()
+    cat.drop_table("t", force=True)      # pin gate is
+    assert cat.list_tables() == []
+    with pytest.raises(FileNotFoundError):
+        cat.drop_table("t")
+    del clone
