@@ -352,6 +352,46 @@ def wap_bench(spark, root: str, n_events: int) -> dict:
     return out
 
 
+def constraint_overhead_bench(spark, root: str, n_events: int) -> dict:
+    """CHECK-constraint enforcement rides the post-write stats scan
+    (lake/table.py), so a constrained merge should cost ~the same as
+    an unconstrained one — measure the claim instead of asserting it."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc import replay as R
+    from etl_spark.cdc.generator import generate_events
+    from etl_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True)
+         for c in ["repo", "path", "commit", "lang", "content", "content_sha256"]]
+    )
+    ev = generate_events(spark, n_events, partitions=64)
+    variants = (("plain", None),
+                ("constrained", {"repo_present": "repo is not null",
+                                 "content_len": "length(content) < 1000000"}))
+    best: dict[str, float] = {}
+    # interleaved best-of-2: a single ordered pass charges the first
+    # variant the JIT/page-cache warmup
+    for trial in range(2):
+        for label, cons in variants:
+            tbl = LakeTable.create(
+                spark, os.path.join(root, f"cons_{label}_{trial}"), schema,
+                ["repo", "path"], n_buckets=64,
+                derived={"content_sha256": ("sha256", "content")},
+                constraints=cons,
+            )
+            t0 = time.time()
+            R.apply_batch(tbl, ev, epoch=0)
+            dt = time.time() - t0
+            best[label] = min(best.get(label, dt), dt)
+    out = {f"{k}_sec": round(v, 2) for k, v in best.items()}
+    out["overhead_pct"] = round(
+        100 * (best["constrained"] / best["plain"] - 1), 1
+    )
+    return out
+
+
 def udf_tax_bench(spark, n: int = 500_000) -> dict:
     """Quantifies the Python-boundary rule on engine-realistic rows
     (~2 KB strings, the content-column shape): sha256 via native
@@ -585,6 +625,8 @@ def main() -> None:
         print(f"  skew (50% one key): {skew}", file=sys.stderr)
         udf_tax = udf_tax_bench(spark)
         print(f"  udf tax: {udf_tax}", file=sys.stderr)
+        cons = constraint_overhead_bench(spark, root, CDC_EVENTS // 3)
+        print(f"  constraint overhead: {cons}", file=sys.stderr)
         incr = incremental_bench(spark, root, CDC_EVENTS // 3)
         print(f"  incremental propagation: {incr}", file=sys.stderr)
 
@@ -641,6 +683,7 @@ def main() -> None:
         "wap": wap,
         "skew": skew,
         "udf_tax": udf_tax,
+        "constraint_overhead": cons,
         "incremental": incr,
     }
     result["metric"] = "headline suite total + CDC replay sec"
