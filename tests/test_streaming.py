@@ -290,3 +290,43 @@ def test_streaming_downstream_pipeline(spark, wal, oracle, repos_schema, tmp_pat
     s2 = CdcStream(tbl, str(tmp_path / "ckpt2"), downstream=hooks)
     s2.run_to_completion(spark, wal, schema=EVENT_SCHEMA, max_files_per_trigger=2)
     assert (tbl.current_version(), mirror.current_version(), agg.current_version()) == vs
+
+
+def test_stream_survives_out_of_band_maintenance_races(spark, wal, oracle, repos_schema, tmp_path):
+    """A drain races an operator's out-of-band maintenance (compact
+    loop in another thread hammering the same table): the stream's
+    merge_retries rebase every lost version race, maintenance losses
+    retry too, and the final state still equals the oracle exactly.
+    This is the multi-writer regime maintain_all/cron sweeps create
+    in production."""
+    import threading
+    import time as _time
+
+    from etl_spark.lake.table import CommitConflictError, LakeTable, with_conflict_retry
+
+    tbl = LakeTable.create(spark, str(tmp_path / "repos"), repos_schema,
+                           ["repo", "path"], n_buckets=8, write_mode="mor")
+    stream = CdcStream(tbl, str(tmp_path / "ckpt"), merge_retries=8)
+    q = stream.start(spark, wal, schema=EVENT_SCHEMA,
+                     max_files_per_trigger=1, available_now=True)
+    stop = threading.Event()
+    outcomes = {"compacts": 0, "lost": 0}
+
+    def pest():
+        while not stop.is_set():
+            try:
+                with_conflict_retry(tbl.compact, 4)
+                outcomes["compacts"] += 1
+            except CommitConflictError:
+                outcomes["lost"] += 1
+            _time.sleep(0.05)
+
+    th = threading.Thread(target=pest, daemon=True)
+    th.start()
+    try:
+        q.awaitTermination()
+    finally:
+        stop.set()
+        th.join(timeout=30)
+    assert outcomes["compacts"] > 0  # the pest really ran against the drain
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
