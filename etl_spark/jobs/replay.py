@@ -40,7 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wal", help="WAL directory (ordered parquet; stream/batch modes)")
     p.add_argument("--table", required=True, help="lake table root")
     p.add_argument("--checkpoint", help="streaming checkpoint dir (stream mode)")
-    p.add_argument("--mode", choices=["stream", "batch", "backport", "diff", "sql"],
+    p.add_argument("--mode",
+                   choices=["stream", "batch", "backport", "diff", "sql", "maintain"],
                    default="stream")
     p.add_argument("--out", help="backport mode: directory for the emitted event frame")
     p.add_argument("--query",
@@ -307,6 +308,24 @@ def main(argv=None) -> int:
             print(json.dumps({"mode": "sql", "catalog": args.table,
                               "rows_shown": len(rows), "limit": args.limit,
                               "seconds": round(time.time() - t0, 2)}), file=sys.stderr)
+        return 0
+
+    if args.mode == "maintain":
+        # catalog housekeeping from spark-submit (cron-able): heal
+        # crashed commits, then the manifest-only advise sweep; with
+        # --compact the SAFE subset (compact + expire) is applied.
+        # --table points at the CATALOG root here, like diff/sql modes.
+        from etl_spark.lake.table import LakeCatalog
+
+        t0 = time.time()
+        cat = LakeCatalog(spark, args.table)
+        report = cat.maintain_all(apply=args.compact, keep_last=args.keep_versions)
+        for row in report:
+            print(json.dumps(row))
+        print(json.dumps({
+            "mode": "maintain", "catalog": args.table, "applied": args.compact,
+            "actions": len(report), "seconds": round(time.time() - t0, 2),
+        }), file=sys.stderr)
         return 0
 
     if not args.wal:

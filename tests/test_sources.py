@@ -352,3 +352,33 @@ def test_replay_job_sql_mode(spark, tmp_path, capsys):
 
     # missing --query is a usage error
     assert main(["--table", str(tmp_path / "cat"), "--mode", "sql"]) == 2
+
+
+def test_replay_job_maintain_mode(spark, tmp_path):
+    """--mode maintain: catalog housekeeping from the CLI — heals a
+    wedged table (roll-forward) and surfaces/apply-gates advice."""
+    import contextlib
+    import io
+    import json as _json
+    import os as _os
+
+    from etl_spark.cdc.generator import write_event_log
+    from etl_spark.jobs.replay import main
+
+    wal = str(tmp_path / "wal")
+    write_event_log(spark, wal, 2000, files=2)
+    cat = str(tmp_path / "cat")
+    assert main(["--wal", wal, "--table", f"{cat}/repos",
+                 "--mode", "batch", "--n-buckets", "4"]) == 0
+    # wedge: point CURRENT one back (crash between manifest and flip)
+    meta = _os.path.join(cat, "repos", "_meta")
+    cur = open(_os.path.join(meta, "CURRENT")).read().strip()
+    with open(_os.path.join(meta, "CURRENT"), "w") as f:
+        f.write(str(int(cur) - 1))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--table", cat, "--mode", "maintain"]) == 0
+    rows = [_json.loads(l) for l in buf.getvalue().splitlines() if l.strip()]
+    heal = [r for r in rows if r.get("action") == "rolled_forward"]
+    assert heal and heal[0]["applied"] and heal[0]["table"] == "repos"
+    assert open(_os.path.join(meta, "CURRENT")).read().strip() == cur
