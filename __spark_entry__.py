@@ -458,6 +458,66 @@ def q_mor_read_equivalence(spark, sf_dir):
     return _final_state(_replay_events_table(spark, sf_dir, "mor"))
 
 
+def q_fact_append(spark, sf_dir):
+    """Append-only fact-table mode (write_mode='append'): every event
+    lands as its own row — no keyed resolve on write OR read (the
+    event-log / training-corpus regime; lake/table.py create()
+    docstring). Three epoch batches append all driver events; the
+    read-back must equal the raw event set (plus the derived
+    per-row sha256), proving nothing was deduped, dropped or
+    double-applied across the epoch fences."""
+    def build():
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_spark.lake.table import LakeTable
+
+        ev = _t(spark, sf_dir, "events")
+        schema = T.StructType([
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+            T.StructField("props_sha256", T.StringType(), True),
+        ])
+        root = tempfile.mkdtemp(prefix="lakefact_", dir=_scratch_dir())
+        tbl = LakeTable.create(
+            spark, root + "/facts", schema, ["user_id"], seq_col="last_seq",
+            n_buckets=8, derived={"props_sha256": ("sha256", "props")},
+            write_mode="append",
+        )
+        src = ev.select(
+            "user_id", "event_type", "value", "props",
+            F.lit("insert").alias("op"), F.col("event_id").alias("seq"),
+        )
+        mx = int(ev.agg(F.max("event_id")).first()[0] or 0)
+        step = mx // 3 + 1
+        for i in range(3):
+            tbl.merge_cdc(
+                src.filter((F.col("seq") >= i * step) & (F.col("seq") < (i + 1) * step)),
+                epoch=i,
+            )
+        return tbl
+
+    tbl = _cached_fixture(spark, ("fact_append", os.path.abspath(sf_dir)), build)
+    return tbl.read().select(
+        "user_id",
+        F.col("last_seq").alias("event_id"),
+        "event_type",
+        _r("value", 6).alias("value"),
+        "props_sha256",
+    )
+
+
+_SQL_FACT_APPEND = """
+SELECT user_id, event_id, event_type,
+       FLOOR((value) * 1e6 + 0.5) / 1e6 AS value,
+       SHA256(props) AS props_sha256
+FROM events
+"""
+
+
 def q_change_feed_mirror(spark, sf_dir):
     """Change feed as a Structured Streaming SOURCE, driven end to
     end in batch-form (availableNow): the shared MOR replay table's
@@ -2613,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_clone": q_table_clone,
         "table_publish": q_table_publish,
         "txn_publish": q_txn_publish,
+        "fact_append": q_fact_append,
     }
 
 
@@ -2869,4 +2930,5 @@ FROM documents
         "table_clone": _SQL_MERGE_FINAL,
         "table_publish": _SQL_PUBLISH,
         "txn_publish": _SQL_MERGE_FINAL,
+        "fact_append": _SQL_FACT_APPEND,
     }

@@ -61,7 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream mode: tail forever instead of drain-and-stop")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--n-buckets", type=int, default=64)
-    p.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
+    p.add_argument("--write-mode", choices=["cow", "mor", "append"], default="cow",
                    help="cow: resolve into base per batch; mor: O(batch) delta "
                         "appends + read-time resolution (run --compact to fold)")
     p.add_argument("--compact", action="store_true",

@@ -263,6 +263,15 @@ class LakeTable:
         ``write_mode``: "cow" (default) resolves each merge into the
         base immediately; "mor" appends batch deltas (O(batch) ingest)
         and resolves at read time — compact() folds them down.
+        "append" is the FACT-TABLE regime (event logs, metrics,
+        training corpora shards): batches land as deltas like MOR but
+        rows are never keyed-resolved — no dedup shuffle sort on
+        write, no window on read; ``key_cols`` still drive bucketing,
+        so facts stay co-located with the keyed dimension tables they
+        join. Deletes are refused (append-only by contract); compact
+        just bin-packs delta files into the base. Tails via
+        ``read_since`` / ``changes_since`` work unchanged (every row
+        an insert).
 
         ``bloom_cols``: write parquet bloom filters for these columns
         (typically the key columns). Point lookups then skip row
@@ -287,8 +296,8 @@ class LakeTable:
         happy path costs zero extra passes; a violating batch aborts
         before the manifest commit and the table is untouched. See
         ``add_constraint`` for constraining existing tables."""
-        if write_mode not in ("cow", "mor"):
-            raise ValueError(f"write_mode must be cow|mor, got {write_mode!r}")
+        if write_mode not in ("cow", "mor", "append"):
+            raise ValueError(f"write_mode must be cow|mor|append, got {write_mode!r}")
         t = cls(spark, root)
         os.makedirs(t._meta_dir, exist_ok=True)
         if seq_col not in schema.names:
@@ -430,7 +439,7 @@ class LakeTable:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-        if deltas:
+        if deltas and m.get("write_mode", "cow") != "append":
             out = self._resolve_latest(out, m["seq_col"], m["key_cols"])
         if not include_tombstones:
             # user-facing snapshot: hide tombstones AND internal columns
@@ -998,7 +1007,7 @@ class LakeTable:
         # keeps whole rows, so the winner's stamp rides along for free —
         # a row's _cv > V  <=>  its state changed after version V.
         src = src.withColumn(_CV, F.lit(m["version"] + 1).cast("long"))
-        if m.get("write_mode", "cow") == "mor":
+        if m.get("write_mode", "cow") in ("mor", "append"):
             return self._merge_mor(m, src, new_schema, schemas, sid, epoch, extra_manifest)
         return self._merge_resolve(m, src, new_schema, schemas, sid, epoch, extra_manifest)
 
@@ -1009,10 +1018,12 @@ class LakeTable:
         batch costs O(batch), not O(table). Readers resolve
         base+deltas by seq; ``compact()`` folds deltas into the base."""
         seq = self.seq_col
-        kept = self._resolve_latest(
-            src.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols]),
-            seq, self.key_cols,
-        )
+        append_only = m.get("write_mode", "cow") == "append"
+        part = src.repartition(self.n_buckets, *[F.col(k) for k in self.key_cols])
+        # append mode skips the latest-wins resolve entirely: no sort,
+        # no window — the one repartition (bucket placement/locality)
+        # is the batch's only wide transform
+        kept = part if append_only else self._resolve_latest(part, seq, self.key_cols)
         live = ~F.coalesce(F.col(_DELETED), F.lit(False))
         for dst, (fn, srccol) in m.get("derived", {}).items():
             if fn != "sha256":
@@ -1051,6 +1062,12 @@ class LakeTable:
             sel = [F.col(_BUCKET).alias("b"), F.col(seq).alias("__seq")]
             aggs = [F.min("__seq").alias("mn"), F.max("__seq").alias("mx"),
                     F.count(F.lit(1)).alias("n")]
+            if append_only:
+                # append-only contract: deletes are refused, enforced
+                # in this same scan (a tombstone would silently vanish
+                # at read time otherwise — reads never resolve)
+                sel.append(dead.cast("long").alias("__del"))
+                aggs.append(F.sum("__del").alias("n_del"))
             cons = list(m.get("constraints", {}).items())
             for i, (_cname, cexpr) in enumerate(cons):
                 sel.append(((~F.coalesce(F.expr(cexpr), F.lit(True))) & ~dead)
@@ -1071,6 +1088,14 @@ class LakeTable:
                     f"CHECK constraint(s) violated, commit aborted: "
                     f"{violations} (rows per constraint)"
                 )
+            if append_only:
+                n_del = sum(int(r["n_del"] or 0) for r in stats.values())
+                if n_del:
+                    shutil.rmtree(delta_dir, ignore_errors=True)
+                    raise ValueError(
+                        f"append-only table refuses deletes ({n_del} delete "
+                        "events in batch); use write_mode=mor/cow for CDC keys"
+                    )
             for b, ent in out.items():
                 r = stats.get(int(b))
                 if r is not None and r["mx"] is not None:
@@ -1094,7 +1119,8 @@ class LakeTable:
         }
         self._commit(m2)
         return {"version": v, "epoch": epoch, "skipped": False,
-                "mode": "mor", "delta_buckets": sorted(int(b) for b in out)}
+                "mode": m.get("write_mode", "mor"),
+                "delta_buckets": sorted(int(b) for b in out)}
 
     def compact(self) -> int:
         """Fold all deltas into the base (the deferred COW merge) —

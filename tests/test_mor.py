@@ -171,3 +171,52 @@ def test_compact_is_partial(spark, tmp_path):
     assert len(changed) == 1  # only the delta-touched bucket rewrote
     assert {(r["k"], r["v"]) for r in t.read().collect()} == before
     assert ("k0", 999) in before
+
+
+# -- append-only fact tables -------------------------------------------
+
+
+def test_append_mode_keeps_every_row(spark, tmp_path, repos_schema):
+    """write_mode='append': batches land as deltas but rows are never
+    keyed-resolved — repeated keys all survive (fact semantics), read
+    has no window, compact bin-packs without dedup."""
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "facts"), repos_schema,
+                         ["repo", "path"], n_buckets=4, write_mode="append")
+    src = "repo string, path string, commit string, lang string, content string, op string, seq long"
+    t.merge_cdc(spark.createDataFrame(
+        [("r", "p", "c1", "py", "a", "insert", 1),
+         ("r", "p", "c2", "py", "b", "insert", 2)], src), epoch=0)
+    t.merge_cdc(spark.createDataFrame(
+        [("r", "p", "c3", "py", "c", "insert", 3)], src), epoch=1)
+    rows = t.read().orderBy("last_seq").collect()
+    assert [r["commit"] for r in rows] == ["c1", "c2", "c3"]  # no dedup
+    # reads carry no window: physical plan is scan+filter only
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    v = t.compact()
+    assert t.current_version() == v and not t.manifest()["deltas"]
+    assert [r["commit"] for r in t.read().orderBy("last_seq").collect()] == ["c1", "c2", "c3"]
+    # seq-watermark tail works unchanged
+    assert {r["commit"] for r in t.read_since(2).collect()} == {"c3"}
+
+
+def test_append_mode_refuses_deletes(spark, tmp_path, repos_schema):
+    from etl_spark.lake.table import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "facts"), repos_schema,
+                         ["repo", "path"], n_buckets=4, write_mode="append")
+    src = "repo string, path string, commit string, lang string, content string, op string, seq long"
+    v = t.current_version()
+    with pytest.raises(ValueError, match="append-only table refuses deletes"):
+        t.merge_cdc(spark.createDataFrame(
+            [("r", "p", "c", "py", "x", "delete", 1)], src), epoch=0)
+    assert t.current_version() == v and not t.has_epoch(0)
+    # epoch fence + exactly-once still hold for legal batches
+    t.merge_cdc(spark.createDataFrame(
+        [("r", "p", "c", "py", "x", "insert", 1)], src), epoch=0)
+    out = t.merge_cdc(spark.createDataFrame(
+        [("r", "p", "c", "py", "x", "insert", 1)], src), epoch=0)
+    assert out["skipped"] is True
+    assert t.read().count() == 1
