@@ -197,14 +197,19 @@ def mor_ingest_bench(spark, root: str, n_events: int, batches: int = 8) -> dict:
     from etl_spark.cdc.generator import generate_events
     from etl_spark.cdc import replay as R
 
+    from pyspark.sql import functions as F
+
     out = {}
-    for mode in ("cow", "mor"):
+    for mode in ("cow", "mor", "append"):
         tbl = _mk_table(spark, root, f"morb_{mode}", write_mode=mode)
         step = n_events // batches
         t0 = time.time()
         for i in range(batches):
             ev = generate_events(spark, n_events, start=i * step,
                                  end=(i + 1) * step, partitions=64)
+            if mode == "append":
+                # fact regime: insert-only by contract (deletes refused)
+                ev = ev.filter(F.lower("op") != "delete")
             R.apply_batch(tbl, ev, epoch=i)
         out[f"{mode}_ingest_sec"] = round(time.time() - t0, 2)
         out[f"{mode}_events_per_sec"] = round(n_events / out[f"{mode}_ingest_sec"])

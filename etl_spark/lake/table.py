@@ -1647,10 +1647,12 @@ class LakeTable:
         changed = self._changed_buckets(m_from, m_to)
         keys = m_to["key_cols"]
         new = self.changes_since(v_from, v_to)
-        if int(v_from) == 0:
-            # nothing was live at the empty base: every upsert is an
-            # insert, every delete is a re-delete (suppressed), every
-            # preimage is NULL — no old-snapshot read, no join
+        if int(v_from) == 0 or m_to.get("write_mode", "cow") == "append":
+            # nothing was live at the empty base — and on append-only
+            # tables nothing is EVER updated or deleted, and a re-seen
+            # key is a new independent fact row, not an update — so in
+            # both cases every change is an insert with a NULL preimage:
+            # no old-snapshot read, no join
             types = {f.name: f.dataType for f in self._user_fields(m_to)}
             out = new.filter(F.col("_change_type") == "upsert").withColumn(
                 "_change_type", F.lit("insert")

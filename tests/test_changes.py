@@ -862,3 +862,51 @@ def test_sync_agg_distinct_sketches(spark, tmp_path):
     plain = _agg_dst(spark, tmp_path, name="plain")
     sync_agg(src, plain, ["grp"], ["metric"])
     assert {r["grp"]: r["n"] for r in plain.read().collect()} == {"g1": 2, "g2": 2, "g3": 1}
+
+
+def test_append_facts_feed_distinct_view(spark, tmp_path):
+    """Cohesion of the two insert-only pieces: an append-mode fact
+    table (write_mode='append', duplicate keys legal) is the natural
+    source for HLL distinct views — sync_agg maintains per-group
+    counts/sums/approx-distinct over the fact stream incrementally,
+    and the view matches an exact recompute after every epoch."""
+    from etl_spark.lake.incremental import agg_view_schema, sync_agg
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("metric", T.LongType(), True),
+    ])
+    src = LakeTable.create(spark, str(tmp_path / "facts"), schema, ["k"],
+                           n_buckets=4, write_mode="append")
+    dst = LakeTable.create(
+        spark, str(tmp_path / "view"),
+        agg_view_schema(src, ["grp"], ["metric"], ["k"]),
+        ["grp"], n_buckets=4,
+    )
+
+    def check():
+        want = {
+            (r["grp"], r["n"], r["s"], r["nd"])
+            for r in src.read().groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("metric").alias("s"),
+                F.countDistinct("k").alias("nd")).collect()
+        }
+        got = {(r["grp"], r["n"], r["sum_metric"], r["nd_k"])
+               for r in dst.read().collect()}
+        assert got == want, (got, want)
+
+    # duplicate keys across AND within epochs: every event is a row,
+    # nd_ counts distinct k while n counts all — only legal on append
+    src.merge_cdc(_agg_rows(spark, [
+        ("a", "g1", 1, "insert", 1), ("a", "g1", 2, "insert", 2),
+        ("b", "g2", 3, "insert", 3),
+    ]), epoch=0)
+    sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    check()
+    src.merge_cdc(_agg_rows(spark, [
+        ("a", "g1", 4, "insert", 4), ("c", "g2", 5, "insert", 5),
+    ]), epoch=1)
+    sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    check()
+    assert sync_agg(src, dst, ["grp"], ["metric"], ["k"])["skipped"] is True
