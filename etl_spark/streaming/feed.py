@@ -81,10 +81,10 @@ def read_change_stream(
     ignored until the consumer restarts (a streaming query's schema is
     fixed); the file checkpoint makes that restart seamless."""
     m = table.manifest()
-    if m.get("write_mode", "cow") != "mor":
+    if m.get("write_mode", "cow") not in ("mor", "append"):
         raise ValueError(
-            "read_change_stream requires a merge-on-read table (write_mode='mor'): "
-            "COW merges leave no per-commit delta files to tail — use "
+            "read_change_stream requires per-commit delta files to tail "
+            "(write_mode='mor' or 'append'): COW merges leave none — use "
             "etl_spark.lake.incremental.sync for batch propagation instead"
         )
     delta_root = os.path.join(table.root, "delta")

@@ -221,10 +221,40 @@ def test_agg_view_stream_maintains_group_counts(spark, tmp_path):
     assert view() == {"go": 2}
 
 
-def test_read_change_stream_requires_mor(spark, repos_schema, tmp_path):
+def test_read_change_stream_requires_delta_files(spark, repos_schema, tmp_path):
     cow = LakeTable.create(spark, str(tmp_path / "cow"), repos_schema, ["repo", "path"])
-    with pytest.raises(ValueError, match="merge-on-read"):
+    with pytest.raises(ValueError, match="per-commit delta files"):
         read_change_stream(spark, cow)
+
+
+def test_fact_mirror_stream_preserves_duplicates(spark, tmp_path):
+    """An append-only fact table tails into an append-only mirror:
+    exactly-once rests on the per-batch epoch fence ALONE (no keyed
+    dedup can absorb redelivery on facts) and duplicate-keyed rows
+    must all survive the hop."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.StringType(), False),
+                           T.StructField("v", T.IntegerType(), True)])
+    src = LakeTable.create(spark, str(tmp_path / "facts"), schema, ["k"],
+                           n_buckets=4, write_mode="append")
+    dst = LakeTable.create(spark, str(tmp_path / "mirror"), schema, ["k"],
+                           n_buckets=4, write_mode="append")
+
+    def rows(rs):
+        return spark.createDataFrame(rs, "k string, v int, op string, seq long")
+
+    src.merge_cdc(rows([("a", 1, "insert", 1), ("a", 2, "insert", 2)]), epoch=0)
+    src.merge_cdc(rows([("a", 3, "insert", 3), ("b", 4, "insert", 4)]), epoch=1)
+    ckpt = str(tmp_path / "ckpt")
+    q = mirror_stream(spark, src, dst, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+    got = sorted((r["k"], r["v"]) for r in dst.read().collect())
+    assert got == [("a", 1), ("a", 2), ("a", 3), ("b", 4)]
+    # resume with nothing new: the fence + checkpoint admit no replays
+    q2 = mirror_stream(spark, src, dst, ckpt)
+    q2.awaitTermination()
+    assert dst.read().count() == 4
 
 
 def test_feed_shape_and_deletes(spark, repos_schema, tmp_path):
