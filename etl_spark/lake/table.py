@@ -2088,6 +2088,14 @@ class LakeCatalog:
     def exists(self, name: str) -> bool:
         return LakeTable.exists(os.path.join(self.root, name))
 
+    def publish_dataset(self, tables, key_cols, **kw) -> dict:
+        """Validated atomic multi-table publish — see
+        etl_spark.lake.dataset.publish_dataset (the reference's
+        create_dataset flow)."""
+        from etl_spark.lake.dataset import publish_dataset
+
+        return publish_dataset(self, tables, key_cols, **kw)
+
     def drop_table(self, name: str, force: bool = False) -> None:
         """DROP TABLE: delete the table's directory (data + metadata)
         after safety gates. Refused while retention pins exist — pins
