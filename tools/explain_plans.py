@@ -377,6 +377,34 @@ def main() -> int:
         ("MOR keyed read: filter below the resolve window into every scan", p16, checks16)
     )
 
+    # 17. append-only fact read: NO window anywhere — the snapshot is
+    # scan+filter only (the fact regime's entire point: reads cost a
+    # columnar scan, never a keyed sort)
+    m17 = LakeTable.create(
+        spark, os.path.join(root, "m17"),
+        T.StructType([T.StructField("k", T.StringType(), True),
+                      T.StructField("v", T.StringType(), True)]),
+        ["k"], n_buckets=4, write_mode="append",
+    )
+    m17.merge_cdc(spark.createDataFrame([("a", "1", "insert", 1), ("a", "2", "insert", 2)],
+                                        "k string, v string, op string, seq long"))
+    m17.merge_cdc(spark.createDataFrame([("a", "3", "insert", 3)],
+                                        "k string, v string, op string, seq long"))
+    p17 = plan_of(m17.read().filter(F.col("k") == "a"))
+    checks17 = []
+    if "Window" not in p17 and "Exchange" not in p17:
+        checks17.append("OK no Window, no Exchange: append snapshot reads are "
+                        "scan+filter only")
+    else:
+        failures.append("append read: unexpected Window/Exchange in plan")
+    if p17.count("EqualTo(k,a)") >= 1:
+        checks17.append("OK predicate pushed to the parquet scan")
+    else:
+        failures.append("append read: filter not pushed")
+    sections.append(
+        ("Append-only fact read: no window, no shuffle, pushed filter", p17, checks17)
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
