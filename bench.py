@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "change_feed_mirror",
     "join_view",     # new r4: incrementally maintained join view
     "sql_surface",   # new r4: catalog SQL over CDC-evolved tables
+    "txn_publish",   # new r4: multi-table atomic publish (two tables, one txn)
+    "fact_append",   # new r4: append-only fact ingest + no-resolve read
 ]
 
 
