@@ -251,6 +251,7 @@ class LakeTable:
         bloom_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
         constraints: dict[str, str] | None = None,
+        on_violation: str = "abort",
     ) -> "LakeTable":
         """``derived`` declares engine-maintained columns computed on
         merge winners, e.g. {"content_sha256": ("sha256", "content")}.
@@ -295,9 +296,21 @@ class LakeTable:
         the post-write stats scan every rewrite already does, so the
         happy path costs zero extra passes; a violating batch aborts
         before the manifest commit and the table is untouched. See
-        ``add_constraint`` for constraining existing tables."""
+        ``add_constraint`` for constraining existing tables.
+
+        ``on_violation``: "abort" (default, zero-cost enforcement as
+        above) or "quarantine" — the dead-letter pattern: violating
+        STAGED rows are routed to ``<root>/_quarantine/`` (readable
+        via ``quarantined()``, with a ``_violated`` column naming the
+        failed constraints) and the clean remainder merges normally.
+        Quarantine screens the staged batch BEFORE resolution (bad
+        data is bad whether or not it would win) and costs one extra
+        O(batch) pass per merge — the operator's trade for never
+        stalling ingest on poison rows."""
         if write_mode not in ("cow", "mor", "append"):
             raise ValueError(f"write_mode must be cow|mor|append, got {write_mode!r}")
+        if on_violation not in ("abort", "quarantine"):
+            raise ValueError(f"on_violation must be abort|quarantine, got {on_violation!r}")
         t = cls(spark, root)
         os.makedirs(t._meta_dir, exist_ok=True)
         if seq_col not in schema.names:
@@ -334,6 +347,7 @@ class LakeTable:
             "bloom_cols": list(bloom_cols or []),
             "sort_cols": list(sort_cols or []),
             "constraints": dict(constraints or {}),
+            "on_violation": on_violation,
             "deltas": [],
             "max_seq": None,
             "committed_at": time.time(),
@@ -1007,9 +1021,64 @@ class LakeTable:
         # keeps whole rows, so the winner's stamp rides along for free —
         # a row's _cv > V  <=>  its state changed after version V.
         src = src.withColumn(_CV, F.lit(m["version"] + 1).cast("long"))
+        src, n_quar = self._screen_quarantine(m, src)
         if m.get("write_mode", "cow") in ("mor", "append"):
-            return self._merge_mor(m, src, new_schema, schemas, sid, epoch, extra_manifest)
-        return self._merge_resolve(m, src, new_schema, schemas, sid, epoch, extra_manifest)
+            out = self._merge_mor(m, src, new_schema, schemas, sid, epoch, extra_manifest)
+        else:
+            out = self._merge_resolve(m, src, new_schema, schemas, sid, epoch, extra_manifest)
+        if n_quar:
+            out = {**out, "rows_quarantined": n_quar}
+        return out
+
+    def _screen_quarantine(self, m: dict, src: DataFrame):
+        """on_violation='quarantine': split the staged batch — live
+        rows failing any CHECK constraint land in the quarantine area
+        (with a ``_violated`` column naming the failed constraints),
+        the clean remainder proceeds to the merge. One extra O(batch)
+        pass, paid only by tables that opted in. Quarantine files are
+        diagnostic side output, not table state: a retried merge may
+        re-quarantine the same rows (at-least-once), and expire/GC
+        never touches the area — triage and clean it explicitly."""
+        cons = m.get("constraints", {})
+        if not cons or m.get("on_violation", "abort") != "quarantine":
+            return src, 0
+        live = ~F.coalesce(F.col(_DELETED), F.lit(False))
+        viol = F.lit(False)
+        for e in cons.values():
+            viol = viol | (~F.coalesce(F.expr(e), F.lit(True)))
+        bad = live & viol
+        failed = F.array_compact(F.array(*[
+            F.when(~F.coalesce(F.expr(e), F.lit(True)), F.lit(n))
+            for n, e in cons.items()
+        ]))
+        qdir = os.path.join(
+            self.root, "_quarantine", f"v{m['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        src.filter(bad).withColumn("_violated", failed).drop(_BUCKET).write.mode(
+            "overwrite"
+        ).parquet(qdir)
+        n = int(self.spark.read.parquet(qdir).count())  # footer-only count
+        if n == 0:
+            shutil.rmtree(qdir, ignore_errors=True)
+            return src, 0
+        return src.filter(~bad), n
+
+    def quarantined(self) -> DataFrame:
+        """Everything the quarantine screen has routed aside (user
+        columns + ``_violated``); empty DataFrame when nothing ever
+        violated."""
+        qroot = os.path.join(self.root, "_quarantine")
+        dirs = (
+            [os.path.join(qroot, d) for d in sorted(os.listdir(qroot))]
+            if os.path.isdir(qroot) else []
+        )
+        if not dirs:
+            schema = T.StructType(
+                list(self.schema().fields)
+                + [T.StructField("_violated", T.ArrayType(T.StringType()), True)]
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*dirs)
 
     def _merge_mor(self, m, src, new_schema, schemas, sid, epoch, extra_manifest) -> dict:
         """Merge-on-read ingest: dedup the batch (one shuffle), apply

@@ -106,3 +106,46 @@ def test_compact_keeps_enforcing(spark, tmp_path):
         t.merge_cdc(_src(spark, [("c", 200, "insert", 3)]), epoch=2)
     t.compact()
     assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 1, "b": 2}
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "mor"])
+def test_quarantine_routes_bad_rows_and_merges_clean(spark, tmp_path, write_mode):
+    """on_violation='quarantine' (dead-letter pattern): violating
+    staged rows land in the quarantine area with the failed constraint
+    names; the clean remainder merges and the epoch commits."""
+    t = LakeTable.create(
+        spark, str(tmp_path / write_mode), _schema(), ["k"], n_buckets=4,
+        write_mode=write_mode,
+        constraints={"v_nonneg": "v >= 0", "v_small": "v < 100"},
+        on_violation="quarantine",
+    )
+    out = t.merge_cdc(_src(spark, [
+        ("a", 1, "insert", 1),        # clean
+        ("b", -5, "insert", 2),       # violates v_nonneg
+        ("c", 500, "insert", 3),      # violates v_small
+        ("d", None, "insert", 4),     # NULL satisfies (SQL CHECK)
+    ]), epoch=0)
+    assert out["rows_quarantined"] == 2 and t.has_epoch(0)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 1, "d": None}
+    q = {r["k"]: sorted(r["_violated"]) for r in t.quarantined().collect()}
+    assert q == {"b": ["v_nonneg"], "c": ["v_small"]}
+    # clean batch: no quarantine rows, no stats key
+    out2 = t.merge_cdc(_src(spark, [("e", 7, "insert", 5)]), epoch=1)
+    assert "rows_quarantined" not in out2
+    assert t.quarantined().count() == 2
+
+
+def test_quarantine_screen_is_pre_resolve(spark, tmp_path):
+    """A violating staged row is quarantined even when it would LOSE
+    the latest-wins resolve — bad data is triaged regardless — and the
+    winning clean row still applies."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4,
+        constraints={"v_nonneg": "v >= 0"}, on_violation="quarantine",
+    )
+    out = t.merge_cdc(_src(spark, [
+        ("a", -1, "insert", 1),   # violating, older
+        ("a", 2, "update", 2),    # clean winner
+    ]), epoch=0)
+    assert out["rows_quarantined"] == 1
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 2}
