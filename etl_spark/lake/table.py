@@ -717,6 +717,18 @@ class LakeTable:
               "committed_at": time.time(), "note": f"add constraint {name}"}
         return self._commit(m2)
 
+    def set_on_violation(self, mode: str) -> int:
+        """Flip constraint handling between 'abort' (zero-cost, batch
+        fails) and 'quarantine' (dead-letter routing) — metadata-only
+        commit, effective from the next merge."""
+        if mode not in ("abort", "quarantine"):
+            raise ValueError(f"on_violation must be abort|quarantine, got {mode!r}")
+        m = self.manifest()
+        m2 = {**m, "version": m["version"] + 1, "parent": m["version"],
+              "on_violation": mode,
+              "committed_at": time.time(), "note": f"on_violation={mode}"}
+        return self._commit(m2)
+
     def drop_constraint(self, name: str) -> int:
         m = self.manifest()
         cons = dict(m.get("constraints", {}))

@@ -149,3 +149,22 @@ def test_quarantine_screen_is_pre_resolve(spark, tmp_path):
     ]), epoch=0)
     assert out["rows_quarantined"] == 1
     assert {r["k"]: r["v"] for r in t.read().collect()} == {"a": 2}
+
+
+def test_set_on_violation_flips_modes(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4,
+        constraints={"v_nonneg": "v >= 0"},
+    )
+    with pytest.raises(ConstraintViolationError):
+        t.merge_cdc(_src(spark, [("a", -1, "insert", 1)]), epoch=0)
+    t.set_on_violation("quarantine")
+    out = t.merge_cdc(_src(spark, [("a", -1, "insert", 1), ("b", 2, "insert", 2)]),
+                      epoch=0)
+    assert out["rows_quarantined"] == 1
+    assert {r["k"] for r in t.read().collect()} == {"b"}
+    t.set_on_violation("abort")
+    with pytest.raises(ConstraintViolationError):
+        t.merge_cdc(_src(spark, [("c", -9, "insert", 3)]), epoch=1)
+    with pytest.raises(ValueError, match="abort|quarantine"):
+        t.set_on_violation("ignore")
