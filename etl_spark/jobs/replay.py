@@ -63,7 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--write-mode", choices=["cow", "mor", "append"], default="cow",
                    help="cow: resolve into base per batch; mor: O(batch) delta "
-                        "appends + read-time resolution (run --compact to fold)")
+                        "appends + read-time resolution (run --compact to fold); "
+                        "append: fact regime, no keyed resolve — the WAL must be "
+                        "insert-only (delete events abort the batch)")
     p.add_argument("--compact", action="store_true",
                    help="compact merge-on-read deltas after the run")
     p.add_argument("--key-cols", default="repo,path")
