@@ -1092,6 +1092,14 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*dirs)
 
+    def clear_quarantine(self) -> int:
+        """Drop everything in the quarantine area after triage (the
+        rows were never table state, so no commit is involved).
+        Returns the number of rows removed."""
+        n = int(self.quarantined().count())
+        shutil.rmtree(os.path.join(self.root, "_quarantine"), ignore_errors=True)
+        return n
+
     def _merge_mor(self, m, src, new_schema, schemas, sid, epoch, extra_manifest) -> dict:
         """Merge-on-read ingest: dedup the batch (one shuffle), apply
         derived columns to batch winners, append the result as a

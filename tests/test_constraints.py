@@ -168,3 +168,15 @@ def test_set_on_violation_flips_modes(spark, tmp_path):
         t.merge_cdc(_src(spark, [("c", -9, "insert", 3)]), epoch=1)
     with pytest.raises(ValueError, match="abort|quarantine"):
         t.set_on_violation("ignore")
+
+
+def test_clear_quarantine_after_triage(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), _schema(), ["k"], n_buckets=4,
+        constraints={"v_nonneg": "v >= 0"}, on_violation="quarantine",
+    )
+    t.merge_cdc(_src(spark, [("a", -1, "insert", 1), ("b", 2, "insert", 2)]), epoch=0)
+    assert t.quarantined().count() == 1
+    assert t.clear_quarantine() == 1
+    assert t.quarantined().count() == 0
+    assert {r["k"] for r in t.read().collect()} == {"b"}  # table untouched
