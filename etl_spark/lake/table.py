@@ -173,6 +173,49 @@ def _atomic_create(path: str, text: str) -> None:
     os.unlink(tmp)
 
 
+_CURRENT_LOCK_STALE_SEC = 10.0
+
+
+def _flip_forward(meta_dir: str, version: int) -> bool:
+    """Advance CURRENT to ``version`` iff it is behind it — idempotent,
+    forward-only, and SERIALIZED: the read-check-write runs under a
+    short exclusive lock (``CURRENT.lock``), because recovery/repair
+    run concurrently with live writers, and an unserialized stale
+    write in the read→write window would regress CURRENT below a
+    version a faster concurrent flip just committed (hiding it until
+    the next repair). The critical section is two tiny file ops
+    (microseconds); a lock left by a crashed holder is stolen after
+    ``_CURRENT_LOCK_STALE_SEC`` — generous at 10s, and a double-steal
+    after such an anomaly only re-opens the original benign-unless-
+    stale race for one flip."""
+    lock = os.path.join(meta_dir, "CURRENT.lock")
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > _CURRENT_LOCK_STALE_SEC:
+                    os.unlink(lock)  # holder died mid-flip; steal
+                    continue
+            except FileNotFoundError:
+                continue
+            time.sleep(0.002)
+    try:
+        with open(os.path.join(meta_dir, "CURRENT")) as f:
+            cur = int(f.read().strip())
+        if cur >= version:
+            return False
+        _atomic_write(os.path.join(meta_dir, "CURRENT"), str(version))
+        return True
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
 class LakeTable:
     """One keyed, bucketed, versioned table under ``root``."""
 
@@ -958,9 +1001,11 @@ class LakeTable:
         v = new_manifest["version"]
         # exclusive create: loses cleanly (CommitConflictError) if a
         # concurrent writer claimed version v first; CURRENT then
-        # flips only after the manifest is durable (index-last commit)
+        # flips only after the manifest is durable (index-last commit).
+        # The flip is the shared locked forward-only one so it cannot
+        # race recovery's roll-forward into a CURRENT regression.
         _atomic_create(os.path.join(self._meta_dir, f"v{v}.json"), json.dumps(new_manifest))
-        _atomic_write(os.path.join(self._meta_dir, "CURRENT"), str(v))
+        _flip_forward(self._meta_dir, v)
         return v
 
     # ---------- MERGE ----------
@@ -1090,7 +1135,12 @@ class LakeTable:
                 + [T.StructField("_violated", T.ArrayType(T.StringType()), True)]
             )
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*dirs)
+        # mergeSchema: quarantine batches written before a schema
+        # evolution carry fewer columns — without it Spark keys the
+        # union off whichever directory it samples first and silently
+        # drops columns that exist only in newer batches, hiding data
+        # from triage
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def clear_quarantine(self) -> int:
         """Drop everything in the quarantine area after triage (the
@@ -2289,7 +2339,7 @@ class LakeCatalog:
 
         return CatalogTransaction(self, txn_id)
 
-    def recover(self, grace_sec: float = 300.0) -> list[dict]:
+    def recover(self, grace_sec: float = 3600.0) -> list[dict]:
         """Heal crashed commits: finish committed transactions' pending
         CURRENT flips, roll forward plain manifests a crashed
         single-table writer left above CURRENT, and (past the grace

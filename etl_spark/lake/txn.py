@@ -60,10 +60,11 @@ import time
 import uuid
 
 from etl_spark.lake.table import (
+    CommitConflictError,
     LakeCatalog,
     LakeTable,
     _atomic_create,
-    _atomic_write,
+    _flip_forward,
 )
 
 
@@ -82,16 +83,9 @@ def _manifest_data_dirs(m: dict) -> set[str]:
     return dirs
 
 
-def _flip_forward(meta_dir: str, version: int) -> bool:
-    """Advance CURRENT to ``version`` if it is behind it (idempotent,
-    forward-only — a later commit must never be undone by recovery
-    re-running an older flip)."""
-    with open(os.path.join(meta_dir, "CURRENT")) as f:
-        cur = int(f.read().strip())
-    if cur >= version:
-        return False
-    _atomic_write(os.path.join(meta_dir, "CURRENT"), str(version))
-    return True
+# CURRENT flips use table.py's _flip_forward: forward-only AND
+# serialized under the CURRENT.lock, so a recovery pass racing a live
+# writer can never regress CURRENT (ADVICE r4).
 
 
 class _TxnTable(LakeTable):
@@ -187,9 +181,30 @@ class CatalogTransaction:
         The exclusive create of the txn record is the commit point;
         the per-table CURRENT flips after it are roll-forward work
         that recovery finishes if this process dies mid-loop.
+
+        A transaction that outlived ``recover``'s grace window may
+        already have been rolled back (its prepared manifests deleted,
+        their data dirs reclaimed). Committing anyway would point
+        CURRENT at a deleted manifest and break every read, so two
+        fences close that hole: (1) every prepared manifest is
+        re-verified on disk immediately before the commit point, and
+        (2) recovery writes an ABORT tombstone at the commit record's
+        own path before rolling back, making this create — the atomic
+        arbiter — lose cleanly if recovery got there first.
         """
         self._require_open()
         os.makedirs(self._txn_dir, exist_ok=True)
+        missing = [
+            (root, vs[-1])
+            for root, vs in self._prepared.items()
+            if not os.path.exists(os.path.join(root, "_meta", f"v{vs[-1]}.json"))
+        ]
+        if missing:
+            self.state = "aborted"
+            raise TransactionStateError(
+                f"prepared manifests vanished (rolled back by recovery — the "
+                f"txn outlived the grace window): {missing}"
+            )
         tables = {
             os.path.relpath(root, self.catalog.root): vs[-1]
             for root, vs in self._prepared.items()
@@ -199,10 +214,19 @@ class CatalogTransaction:
             "tables": tables,
             "committed_at": time.time(),
         }
-        _atomic_create(
-            os.path.join(self._txn_dir, f"{self.txn_id}.json"),
-            json.dumps(record),
-        )
+        try:
+            _atomic_create(
+                os.path.join(self._txn_dir, f"{self.txn_id}.json"),
+                json.dumps(record),
+            )
+        except CommitConflictError:
+            # recovery's abort tombstone (or an impossible duplicate
+            # commit) won the record path: this txn is dead
+            self.state = "aborted"
+            raise TransactionStateError(
+                f"transaction {self.txn_id} was rolled back by recovery "
+                "before commit (prepare-to-commit exceeded the grace window)"
+            ) from None
         self.state = "committed"
         for root, vs in self._prepared.items():
             _flip_forward(os.path.join(root, "_meta"), vs[-1])
@@ -257,7 +281,10 @@ class CatalogTransaction:
 # -- recovery ----------------------------------------------------------
 
 
-def recover(catalog: LakeCatalog, grace_sec: float = 300.0) -> list[dict]:
+_ABORT_TOMBSTONE_TTL_SEC = 86_400.0
+
+
+def recover(catalog: LakeCatalog, grace_sec: float = 3600.0) -> list[dict]:
     """Heal the catalog after crashes at any point of the txn protocol.
 
     - **Roll forward** every committed txn record's pending CURRENT
@@ -265,9 +292,26 @@ def recover(catalog: LakeCatalog, grace_sec: float = 300.0) -> list[dict]:
       plain non-txn manifest sitting above CURRENT (crash between a
       single-table commit's manifest create and its flip).
     - **Roll back** txn-prepared manifests whose txn never committed,
-      once older than ``grace_sec`` (younger ones may belong to a
-      live transaction about to commit — the same in-flight-window
-      reasoning as expire_versions' orphan grace).
+      once the txn's NEWEST prepared manifest is older than
+      ``grace_sec`` (younger ones may belong to a live transaction
+      about to commit — the same in-flight-window reasoning as
+      expire_versions' orphan grace, and the default now matches its
+      3600s rather than undercutting it 12×).
+
+    Rollback treats one transaction's prepared versions as a UNIT and
+    only rolls back complete suffixes of the above-CURRENT chain,
+    deleting from the highest version down — so a txn that prepared
+    v5 minutes before v6 can never lose v5 while v6 survives, and no
+    gap is ever left for the sequential scan to wedge on.
+
+    Before deleting anything, recovery exclusive-creates an ABORT
+    tombstone at the txn's own commit-record path. ``commit()`` races
+    for that same path, so a still-live transaction that commits
+    after rollback began loses atomically (TransactionStateError)
+    instead of pointing CURRENT at a deleted manifest. Tombstones are
+    GC'd after a day — long past any plausible prepare-to-commit span,
+    and commit()'s manifest-existence pre-check remains as the second
+    fence forever.
 
     Returns one row per action: {table, version, action} with action
     in {rolled_forward, rolled_back}.
@@ -275,49 +319,121 @@ def recover(catalog: LakeCatalog, grace_sec: float = 300.0) -> list[dict]:
     actions: list[dict] = []
     txn_dir = os.path.join(catalog.root, "_txns")
     committed: dict[str, dict] = {}
+    aborted: dict[str, dict] = {}
     if os.path.isdir(txn_dir):
         for fn in os.listdir(txn_dir):
             if fn.endswith(".json"):
                 with open(os.path.join(txn_dir, fn)) as f:
-                    committed[fn[:-5]] = json.load(f)
+                    rec = json.load(f)
+                (aborted if rec.get("aborted") else committed)[fn[:-5]] = rec
     now = time.time()
+
+    def _abort_tombstone(txn_id: str) -> bool:
+        """Claim the commit-record path for rollback. Returns False if
+        the txn committed in the window since our scan (roll forward
+        instead); True if the tombstone is ours or another recovery
+        pass already aborted the txn."""
+        if txn_id in aborted:
+            return True
+        os.makedirs(txn_dir, exist_ok=True)
+        rec = {"txn": txn_id, "aborted": True, "aborted_at": now}
+        try:
+            _atomic_create(
+                os.path.join(txn_dir, f"{txn_id}.json"), json.dumps(rec)
+            )
+        except CommitConflictError:
+            with open(os.path.join(txn_dir, f"{txn_id}.json")) as f:
+                existing = json.load(f)
+            if not existing.get("aborted"):
+                committed[txn_id] = existing  # committed under us
+                return False
+        aborted[txn_id] = rec
+        return True
+
     for name in catalog.list_tables():
         t = catalog.table(name)
         cur = t.current_version()
+        # contiguous chain of manifests above CURRENT
+        chain: list[tuple[int, dict]] = []
         v = cur + 1
         while True:
             path = os.path.join(t._meta_dir, f"v{v}.json")
             if not os.path.exists(path):
                 break
             with open(path) as f:
-                m = json.load(f)
-            txn_id = m.get("txn")
-            if txn_id is None or txn_id in committed:
-                _flip_forward(t._meta_dir, v)
-                actions.append(
-                    {"table": name, "version": v, "action": "rolled_forward"}
-                )
-                v += 1
-                continue
-            # uncommitted txn: this and any higher versions belong to
-            # dead (or still-preparing) transactions
-            age = now - float(m.get("committed_at", 0))
-            if age < grace_sec:
-                break  # possibly live; leave the claim in place
-            drop_dirs = _manifest_data_dirs(m)
-            # dirs shared with retained versions survive
-            keep: set[str] = set()
-            for fn in os.listdir(t._meta_dir):
-                if fn.startswith("v") and fn.endswith(".json") and fn != f"v{v}.json":
-                    try:
-                        keep |= _manifest_data_dirs(t.manifest(int(fn[1:-5])))
-                    except (FileNotFoundError, ValueError):
-                        continue
-            os.remove(path)
-            for d in drop_dirs - keep:
-                shutil.rmtree(d, ignore_errors=True)
-            actions.append({"table": name, "version": v, "action": "rolled_back"})
+                chain.append((v, json.load(f)))
             v += 1
+        # roll forward the committed/plain prefix
+        i = 0
+        while i < len(chain):
+            v, m = chain[i]
+            txn_id = m.get("txn")
+            if txn_id is not None and txn_id not in committed:
+                break
+            _flip_forward(t._meta_dir, v)
+            actions.append({"table": name, "version": v, "action": "rolled_forward"})
+            i += 1
+        suffix = chain[i:]
+        if not suffix:
+            continue
+        # group the uncommitted suffix into contiguous same-txn runs
+        groups: list[list[tuple[int, dict]]] = []
+        for v, m in suffix:
+            if groups and groups[-1][-1][1].get("txn") == m.get("txn"):
+                groups[-1].append((v, m))
+            else:
+                groups.append([(v, m)])
+        # from the top: a group is droppable when its txn was already
+        # aborted, or its NEWEST manifest is past grace; stop at the
+        # first keeper (dropping below it would leave a gap)
+        j = len(groups)
+        while j > 0:
+            g = groups[j - 1]
+            txn_id = g[-1][1].get("txn")
+            if txn_id in committed or txn_id is None:
+                break  # committed/plain above an uncommitted run: keep all below
+            newest_age = now - float(g[-1][1].get("committed_at", 0))
+            if txn_id not in aborted and newest_age < grace_sec:
+                break  # possibly live; leave the claim in place
+            j -= 1
+        drop = [vm for g in groups[j:] for vm in g]
+        if not drop:
+            continue
+        # claim tombstones before touching any file; a txn that
+        # committed under us cancels the whole rollback this pass
+        if not all(
+            _abort_tombstone(tid)
+            for tid in {m.get("txn") for _v, m in drop if m.get("txn")}
+        ):
+            continue
+        drop_vs = {v for v, _m in drop}
+        drop_dirs: set[str] = set()
+        for _v, m in drop:
+            drop_dirs |= _manifest_data_dirs(m)
+        # dirs shared with any surviving version must stay
+        keep: set[str] = set()
+        for fn in os.listdir(t._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    sv = int(fn[1:-5])
+                except ValueError:
+                    continue
+                if sv in drop_vs:
+                    continue
+                try:
+                    keep |= _manifest_data_dirs(t.manifest(sv))
+                except (FileNotFoundError, ValueError):
+                    continue
+        # delete manifests highest-first: a crash mid-loop leaves a
+        # shorter contiguous chain, never a gap
+        for v, _m in sorted(drop, reverse=True):
+            try:
+                os.remove(os.path.join(t._meta_dir, f"v{v}.json"))
+            except FileNotFoundError:
+                pass
+            actions.append({"table": name, "version": v, "action": "rolled_back"})
+        for d in drop_dirs - keep:
+            shutil.rmtree(d, ignore_errors=True)
     # GC txn records whose every flip is complete: once no table's
     # CURRENT is behind the recorded version, the record carries no
     # pending roll-forward work and recovery never needs it again
@@ -341,6 +457,17 @@ def recover(catalog: LakeCatalog, grace_sec: float = 300.0) -> list[dict]:
             os.remove(os.path.join(txn_dir, f"{txn_id}.json"))
             actions.append({"table": None, "version": None, "action": "gc_txn_record",
                             "txn": txn_id})
+    # GC abort tombstones after a day: their rollback work completed in
+    # the pass that wrote them, and their only residual job — failing a
+    # zombie commit() — is also covered by commit()'s manifest check
+    for txn_id, rec in aborted.items():
+        if now - float(rec.get("aborted_at", now)) > _ABORT_TOMBSTONE_TTL_SEC:
+            try:
+                os.remove(os.path.join(txn_dir, f"{txn_id}.json"))
+            except FileNotFoundError:
+                continue
+            actions.append({"table": None, "version": None,
+                            "action": "gc_abort_tombstone", "txn": txn_id})
     return actions
 
 

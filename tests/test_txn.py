@@ -324,3 +324,67 @@ def test_publish_dataset_crash_between_tables_publishes_nothing(spark, tmp_path,
     # catalog fully usable after recovery
     D.publish_dataset(cat, {"t1": a}, {"t1": ["k"]}, n_buckets=2)
     assert cat.table("t1").read().count() == 1
+
+
+def test_zombie_commit_after_rollback_fails_cleanly(spark, cat):
+    """ADVICE r4 (medium): a txn that outlives the grace window and is
+    rolled back by recovery must NOT be able to commit afterwards —
+    that would point CURRENT at a deleted manifest. The abort
+    tombstone + manifest pre-check make the late commit() raise, and
+    the tables stay readable."""
+    txn = cat.begin()
+    txn.table("a").merge_cdc(_src(spark, [("x", 1, "insert", 10)]))
+    # recovery fires past grace while the txn is still "live"
+    actions = cat.recover(grace_sec=0.0)
+    assert [a["action"] for a in actions] == ["rolled_back"]
+    with pytest.raises(TransactionStateError):
+        txn.commit()
+    # table unharmed and writable; reads never see a broken CURRENT
+    assert _vals(cat.table("a")) == {"base": 0}
+    cat.table("a").merge_cdc(_src(spark, [("w", 9, "insert", 12)]), epoch=7)
+    assert _vals(cat.table("a")) == {"base": 0, "w": 9}
+    # the tombstone blocks the record path but is GC-able after its TTL
+    tomb = os.path.join(cat.root, "_txns", f"{txn.txn_id}.json")
+    with open(tomb) as f:
+        assert json.load(f)["aborted"] is True
+
+
+def test_rollback_treats_txn_versions_as_a_unit(spark, cat):
+    """ADVICE r4 (low): a txn that prepared v2 long ago and v3 recently
+    must not lose v2 while v3 survives (gap). Either both stay (newest
+    within grace) or both roll back, deleted from the top down."""
+    txn = cat.begin()
+    h = txn.table("a")
+    h.merge_cdc(_src(spark, [("x", 1, "insert", 10)]))
+    h.merge_cdc(_src(spark, [("y", 2, "insert", 11)]))
+    meta = os.path.join(cat.root, "a", "_meta")
+    # age ONLY the older prepared manifest far past any grace
+    p2 = os.path.join(meta, "v2.json")
+    with open(p2) as f:
+        m2 = json.load(f)
+    m2["committed_at"] = 0.0
+    with open(p2, "w") as f:
+        json.dump(m2, f)
+    # newest (v3) is recent -> the whole txn is considered live: no gap
+    assert cat.recover(grace_sec=3600) == []
+    assert os.path.exists(p2) and os.path.exists(os.path.join(meta, "v3.json"))
+    # past grace for the newest too -> both roll back, chain stays gapless
+    actions = cat.recover(grace_sec=0.0)
+    assert sorted(a["version"] for a in actions) == [2, 3]
+    assert not os.path.exists(p2) and not os.path.exists(os.path.join(meta, "v3.json"))
+    assert _vals(cat.table("a")) == {"base": 0}
+    cat.table("a").merge_cdc(_src(spark, [("w", 9, "insert", 12)]))
+    assert _vals(cat.table("a")) == {"base": 0, "w": 9}
+
+
+def test_commit_detects_vanished_prepared_manifests(spark, cat):
+    """Second fence for the zombie-commit hole: even without the
+    tombstone (e.g. it was GC'd), commit() re-verifies every prepared
+    manifest on disk and refuses to create a commit record that points
+    at nothing."""
+    txn = cat.begin()
+    txn.table("a").merge_cdc(_src(spark, [("x", 1, "insert", 10)]))
+    os.remove(os.path.join(cat.root, "a", "_meta", "v2.json"))
+    with pytest.raises(TransactionStateError, match="vanished"):
+        txn.commit()
+    assert not os.path.exists(os.path.join(cat.root, "_txns", f"{txn.txn_id}.json"))
