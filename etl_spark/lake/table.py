@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_spark.lake.commitio import CommitConflictError, get_backend
 from etl_spark.lake.schema import SchemaEvolutionError, evolve
 
 _BUCKET = "_b"
@@ -63,14 +64,121 @@ def _max_opt(a, b):
     return max(int(a), int(b))
 
 
+# ---------- file-level data skipping (Iceberg/Delta column-stats analog) --
+#
+# `_write_buckets`/`_merge_mor` already sort each bucket's rows by the
+# table's ``sort_cols`` before writing, so per-FILE min/max of those
+# columns are tight, near-disjoint ranges and cost nothing extra to
+# collect (they ride the existing post-write stats scan). The manifest
+# records them per file; ``read(filters=...)`` then prunes whole files
+# BEFORE the scan — the lever bucket pruning (key-only) cannot provide
+# for non-key predicates, and at 100 TB the difference between "open
+# every file in every bucket" and "open the 2% of files whose range
+# intersects the predicate".
+
+# stat-able sort_col types: orderable, JSON-encodable, and with a
+# collection-side Python representation whose comparison order matches
+# Spark's (UTF-8 byte order == code-point order for strings; ISO date
+# strings sort chronologically; timestamps normalize to epoch seconds)
+_STATS_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.DateType, T.TimestampType,
+)
+
+_FILTER_OPS = {"=", "==", "<", "<=", ">", ">=", "between", "in"}
+
+
+def _stat_encode(v):
+    """Collected stat value -> JSON-able form whose Python comparison
+    order matches the column's SQL order."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.timestamp()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _encode_filter_value(val, dtype):
+    """Normalize a filter literal into the same encoding
+    ``_stat_encode`` used at write time, per the column's type."""
+    import datetime
+
+    if isinstance(dtype, T.TimestampType) and isinstance(val, datetime.datetime):
+        return val.timestamp()
+    if isinstance(dtype, T.DateType) and isinstance(val, datetime.date):
+        return val.isoformat()
+    return val
+
+
+def _validate_filters(filters) -> None:
+    for f in filters:
+        if not (isinstance(f, (tuple, list)) and len(f) == 3):
+            raise ValueError(f"filter must be (col, op, value): {f!r}")
+        if f[1] not in _FILTER_OPS:
+            raise ValueError(f"unsupported filter op {f[1]!r} (use {sorted(_FILTER_OPS)})")
+
+
+def _filters_to_column(filters):
+    """Conjunctive (col, op, value) triples -> one boolean Column.
+    This residual ALWAYS applies after file pruning — pruning is
+    file-granular, never row-exact — so ``read(filters=...)`` is
+    semantically identical to ``read().filter(...)``."""
+    import functools
+
+    parts = []
+    for col, op, val in filters:
+        c = F.col(col)
+        if op in ("=", "=="):
+            parts.append(c == F.lit(val))
+        elif op == "<":
+            parts.append(c < F.lit(val))
+        elif op == "<=":
+            parts.append(c <= F.lit(val))
+        elif op == ">":
+            parts.append(c > F.lit(val))
+        elif op == ">=":
+            parts.append(c >= F.lit(val))
+        elif op == "between":
+            lo, hi = val
+            parts.append((c >= F.lit(lo)) & (c <= F.lit(hi)))
+        elif op == "in":
+            parts.append(c.isin(list(val)))
+    return functools.reduce(lambda a, b: a & b, parts)
+
+
+def _range_may_match(rng, op, v) -> bool:
+    """May ANY row in a file with [min, max] = rng satisfy `col op v`?
+    Sound because every supported op is null-rejecting and min/max
+    ignore nulls: null rows fail the residual filter regardless, so a
+    file whose non-null range cannot match holds no qualifying row.
+    Incomparable operands (type drift) never prune."""
+    mn, mx = rng
+    try:
+        if op in ("=", "=="):
+            return mn <= v <= mx
+        if op == ">":
+            return mx > v
+        if op == ">=":
+            return mx >= v
+        if op == "<":
+            return mn < v
+        if op == "<=":
+            return mn <= v
+        if op == "between":
+            lo, hi = v
+            return mx >= lo and mn <= hi
+        if op == "in":
+            return any(mn <= x <= mx for x in v)
+    except TypeError:
+        return True
+    return True
+
+
 class ConstraintViolationError(ValueError):
     """A merge/compact staged live rows that fail a table CHECK
     constraint; the commit was aborted and the table is unchanged."""
-
-
-class CommitConflictError(RuntimeError):
-    """Another writer committed this version first (optimistic
-    concurrency, Iceberg-style): re-read CURRENT and retry the merge."""
 
 
 def with_conflict_retry(body, max_retries: int):
@@ -145,75 +253,73 @@ def _state_diff(target: DataFrame, cur: DataFrame, keys: list[str], user: list[s
 
 
 def _atomic_write(path: str, text: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    """Atomic publish, via the active commit backend (commitio.py):
+    POSIX fsync+rename by default; a plain PUT on object stores."""
+    get_backend().publish(path, text)
 
 
 def _atomic_create(path: str, text: str) -> None:
-    """Exclusive-create then rename: the version file is the
-    commit-claim token. A concurrent writer racing for the same
-    version number loses with CommitConflictError instead of silently
-    clobbering the other's commit."""
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        # hard link = atomic fail-if-exists on POSIX (os.replace would
-        # overwrite); falls back to the link target staying in place
-        os.link(tmp, path)
-    except FileExistsError:
-        os.unlink(tmp)
-        raise CommitConflictError(f"version file already committed: {path}")
-    os.unlink(tmp)
+    """Atomic create-if-absent, via the active commit backend: the
+    version file is the commit-claim token. A concurrent writer racing
+    for the same version number loses with CommitConflictError instead
+    of silently clobbering the other's commit. POSIX link(2) by
+    default; a conditional put on object stores."""
+    get_backend().create_if_absent(path, text)
 
 
 _CURRENT_LOCK_STALE_SEC = 10.0
 
 
+class _current_locked:
+    """Short exclusive lock serializing CURRENT updates (flip, heal).
+    The critical section is two tiny file ops (microseconds); a lock
+    left by a crashed holder is stolen after ``_CURRENT_LOCK_STALE_SEC``
+    — generous at 10s, and a double-steal after such an anomaly only
+    re-opens a benign-unless-stale race for one flip. The lock file is
+    same-store scratch claimed with direct O_EXCL (POSIX); an
+    object-store deployment instead serializes CURRENT with the
+    store's own generation-number CAS — see commitio.py / README."""
+
+    def __init__(self, meta_dir: str):
+        self.lock = os.path.join(meta_dir, "CURRENT.lock")
+
+    def __enter__(self):
+        while True:
+            try:
+                fd = os.open(self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.lock) > _CURRENT_LOCK_STALE_SEC:
+                        os.unlink(self.lock)  # holder died mid-flip; steal
+                        continue
+                except FileNotFoundError:
+                    continue
+                time.sleep(0.002)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def _flip_forward(meta_dir: str, version: int) -> bool:
     """Advance CURRENT to ``version`` iff it is behind it — idempotent,
-    forward-only, and SERIALIZED: the read-check-write runs under a
-    short exclusive lock (``CURRENT.lock``), because recovery/repair
-    run concurrently with live writers, and an unserialized stale
-    write in the read→write window would regress CURRENT below a
-    version a faster concurrent flip just committed (hiding it until
-    the next repair). The critical section is two tiny file ops
-    (microseconds); a lock left by a crashed holder is stolen after
-    ``_CURRENT_LOCK_STALE_SEC`` — generous at 10s, and a double-steal
-    after such an anomaly only re-opens the original benign-unless-
-    stale race for one flip."""
-    lock = os.path.join(meta_dir, "CURRENT.lock")
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock) > _CURRENT_LOCK_STALE_SEC:
-                    os.unlink(lock)  # holder died mid-flip; steal
-                    continue
-            except FileNotFoundError:
-                continue
-            time.sleep(0.002)
-    try:
+    forward-only, and SERIALIZED: the read-check-write runs under the
+    CURRENT.lock, because recovery/repair run concurrently with live
+    writers, and an unserialized stale write in the read→write window
+    would regress CURRENT below a version a faster concurrent flip
+    just committed (hiding it until the next repair)."""
+    with _current_locked(meta_dir):
         with open(os.path.join(meta_dir, "CURRENT")) as f:
             cur = int(f.read().strip())
         if cur >= version:
             return False
         _atomic_write(os.path.join(meta_dir, "CURRENT"), str(version))
         return True
-    finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
 
 
 class LakeTable:
@@ -230,8 +336,64 @@ class LakeTable:
         return os.path.join(self.root, "_meta")
 
     def current_version(self) -> int:
-        with open(os.path.join(self._meta_dir, "CURRENT")) as f:
-            return int(f.read().strip())
+        try:
+            with open(os.path.join(self._meta_dir, "CURRENT")) as f:
+                return int(f.read().strip())
+        except ValueError:
+            return self._heal_current()
+        except FileNotFoundError:
+            if os.path.isdir(self._meta_dir) and any(
+                fn.startswith("v") and fn.endswith(".json")
+                for fn in os.listdir(self._meta_dir)
+            ):
+                return self._heal_current()
+            raise
+
+    def _heal_current(self) -> int:
+        """CURRENT is torn or missing with manifests present — possible
+        only after a crash on a store whose publish is not atomic (the
+        contract violation FaultInjectingBackend's torn mode simulates)
+        or between create()'s two initial writes. Deterministic
+        rebuild: the highest version whose manifest exists and is not
+        an UNCOMMITTED transaction claim — exactly where recover()
+        would roll CURRENT forward to. Serialized under the same
+        CURRENT.lock as flips, and forward-only against any parseable
+        value that appears meanwhile, so a concurrent committer can
+        never be regressed."""
+        best = -1
+        txn_dir = os.path.join(os.path.dirname(os.path.abspath(self.root)), "_txns")
+        for fn in os.listdir(self._meta_dir):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            try:
+                v = int(fn[1:-5])
+                with open(os.path.join(self._meta_dir, fn)) as f:
+                    m = json.load(f)
+            except (ValueError, json.JSONDecodeError):
+                continue
+            txn_id = m.get("txn")
+            if txn_id is not None:
+                try:
+                    with open(os.path.join(txn_dir, f"{txn_id}.json")) as f:
+                        if json.load(f).get("aborted"):
+                            continue
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue  # uncommitted claim, not a committed version
+            best = max(best, v)
+        if best < 0:
+            raise FileNotFoundError(
+                f"CURRENT unreadable and no committed manifest under {self._meta_dir}"
+            )
+        with _current_locked(self._meta_dir):
+            try:
+                with open(os.path.join(self._meta_dir, "CURRENT")) as f:
+                    cur = int(f.read().strip())
+                if cur >= best:
+                    return cur
+            except (FileNotFoundError, ValueError):
+                pass
+            _atomic_write(os.path.join(self._meta_dir, "CURRENT"), str(best))
+        return best
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -445,6 +607,7 @@ class LakeTable:
         include_tombstones: bool = False,
         tag: str | None = None,
         as_of_ts: float | None = None,
+        filters: list[tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read. Files written under older schema ids are read
         with their own schema, upcast by name, then unioned — missing
@@ -456,7 +619,18 @@ class LakeTable:
 
         In merge-on-read mode, delta files are unioned with the base
         and resolved (latest seq per key wins) at read time — the
-        ingest-side cost COW pays per batch, moved to the read side."""
+        ingest-side cost COW pays per batch, moved to the read side.
+
+        ``filters``: conjunctive ``(col, op, value)`` triples with op
+        in =/==/</<=/>/>=/between/in — semantically identical to
+        ``read().filter(...)`` (a residual filter always applies), but
+        files whose manifest-recorded ``sort_cols`` min/max range
+        cannot match are pruned BEFORE the scan. Pruning only engages
+        when no read-time resolve is pending (COW / compacted MOR /
+        append mode): with live keyed deltas, dropping a file could
+        remove the winning row of a key and surface its stale loser,
+        so the engine falls back to post-resolve filtering there —
+        exact either way, just without the IO win until compact."""
         if sum(x is not None for x in (version, tag, as_of_ts)) > 1:
             raise ValueError("pass at most one of version, tag, as_of_ts")
         if tag is not None:
@@ -465,17 +639,25 @@ class LakeTable:
             version = self.version_at(as_of_ts)
         m = self.manifest(version)
         cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
+        deltas = m.get("deltas", [])
+        enc = None
+        if filters:
+            _validate_filters(filters)
+            if not deltas or m.get("write_mode", "cow") == "append":
+                enc = self._encode_filters(filters, cur)
         by_sid: dict[int, list[str]] = {}
         for b, ent in m["buckets"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            by_sid.setdefault(ent["sid"], []).append(ent["path"])
-        deltas = m.get("deltas", [])
+            by_sid.setdefault(ent["sid"], []).extend(
+                self._entry_scan_paths(m, ent, ent["sid"], enc))
         for d in deltas:
             for b, ent in d["buckets"].items():
                 if buckets is not None and int(b) not in buckets:
                     continue
-                by_sid.setdefault(d["sid"], []).append(ent["path"])
+                by_sid.setdefault(d["sid"], []).extend(
+                    self._entry_scan_paths(m, ent, d["sid"], enc))
+        by_sid = {sid: ps for sid, ps in by_sid.items() if ps}
         if not by_sid:
             out = self.spark.createDataFrame([], cur)
         else:
@@ -506,7 +688,83 @@ class LakeTable:
                 out = out.filter(~F.coalesce(F.col(_DELETED), F.lit(False))).drop(_DELETED)
             if _CV in out.columns:
                 out = out.drop(_CV)
+        if filters:
+            out = out.filter(_filters_to_column(filters))
         return out
+
+    def _encode_filters(self, filters: list[tuple], schema: T.StructType) -> list[tuple]:
+        """Normalize filter literals into the manifest stats' encoding
+        (per current-schema column types) for range pruning."""
+        enc = []
+        for col, op, val in filters:
+            dt = schema[col].dataType if col in schema.names else None
+            if dt is None:
+                continue  # residual filter will raise/handle; never prune
+            if op == "between":
+                lo, hi = val
+                val = (_encode_filter_value(lo, dt), _encode_filter_value(hi, dt))
+            elif op == "in":
+                val = [_encode_filter_value(v, dt) for v in val]
+            else:
+                val = _encode_filter_value(val, dt)
+            enc.append((col, op, val))
+        return enc
+
+    def _entry_scan_paths(self, m: dict, ent: dict, sid: int, enc: list | None) -> list[str]:
+        """The paths a scan of this bucket entry must open under the
+        encoded filters: the whole bucket dir when no per-file stats
+        exist (or pruning is off), else only the files whose recorded
+        sort-column ranges may match — possibly none. File stats were
+        recorded under the writing schema's physical column names, so
+        renamed columns resolve through the same rename maps reads use."""
+        files = ent.get("files")
+        if not files or not enc:
+            return [ent["path"]]
+        kept = []
+        for fe in files:
+            st = fe.get("stats", {})
+            ok = True
+            for col, op, val in enc:
+                rng = st.get(self._physical_name(m, col, sid))
+                if rng is not None and not _range_may_match(rng, op, val):
+                    ok = False
+                    break
+            if ok:
+                kept.append(os.path.join(ent["path"], fe["name"]))
+        return kept
+
+    def scan_stats(
+        self,
+        filters: list[tuple] | None = None,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+    ) -> dict:
+        """IO plan report for a ``read`` with these arguments — how
+        many data files the scan opens vs the snapshot's total, from
+        the manifest alone (no Spark job). Entries without per-file
+        stats count as one opaque file. The pruning gate mirrors
+        ``read`` exactly (no pruning while keyed deltas await resolve)."""
+        m = self.manifest(version)
+        cur = T.StructType.fromJson(m["schemas"][m["current_schema_id"]])
+        deltas = m.get("deltas", [])
+        enc = None
+        if filters:
+            _validate_filters(filters)
+            if not deltas or m.get("write_mode", "cow") == "append":
+                enc = self._encode_filters(filters, cur)
+        total = kept = 0
+        entries = [(ent, ent["sid"]) for b, ent in m["buckets"].items()
+                   if buckets is None or int(b) in buckets]
+        for d in deltas:
+            entries += [(ent, d["sid"]) for b, ent in d["buckets"].items()
+                        if buckets is None or int(b) in buckets]
+        for ent, sid in entries:
+            n = len(ent.get("files") or [None])
+            total += n
+            kept += len(self._entry_scan_paths(m, ent, sid, enc)) if enc else n
+        return {"files_total": total, "files_kept": kept,
+                "files_pruned": total - kept,
+                "pruning_active": enc is not None and bool(filters)}
 
     def read_keys(self, keys: list[tuple], pushdown_limit: int = 64) -> DataFrame:
         """Point lookup: read ONLY the buckets the given key tuples
@@ -918,6 +1176,12 @@ class LakeTable:
         # `changes_since` prune untouched buckets from the manifest
         # alone (Iceberg column-stats pruning, reduced to the two
         # columns the engine's own access patterns need).
+        #
+        # When the table clusters by sort_cols, the same scan ALSO
+        # aggregates per FILE (input_file_name) and records each file's
+        # min/max of the sort columns in the manifest — the rows are
+        # sorted within each file by construction, so these are tight
+        # ranges and `read(filters=...)` prunes files before the scan.
         if out:
             back = self.spark.read.parquet(data_dir)
             dead = (
@@ -930,13 +1194,22 @@ class LakeTable:
                 F.count(F.when(~F.col("d"), 1)).alias("live"),
                 F.count(F.when(F.col("d"), 1)).alias("dead"),
             ]
-            sel = [F.col(_BUCKET).alias("b"), dead.alias("d")]
+            sel = [F.col(_BUCKET).alias("b"), F.input_file_name().alias("f"),
+                   dead.alias("d")]
             if seq_col in back.columns:
                 sel.append(F.col(seq_col).alias("__seq"))
                 aggs += [F.min("__seq").alias("mn"), F.max("__seq").alias("mx")]
             if _CV in back.columns:
                 sel.append(F.col(_CV).alias("__cv"))
                 aggs.append(F.max("__cv").alias("cv"))
+            stat_cols = [
+                c for c in sort_cols
+                if c in back.columns and isinstance(back.schema[c].dataType, _STATS_TYPES)
+            ]
+            for i, c in enumerate(stat_cols):
+                sel.append(F.col(c).alias(f"__st{i}"))
+                aggs += [F.min(f"__st{i}").alias(f"st{i}mn"),
+                         F.max(f"__st{i}").alias(f"st{i}mx")]
             # CHECK constraints ride the same scan (zero extra passes):
             # a LIVE row violates when its expr is FALSE (NULL passes,
             # per SQL); tombstones are exempt by construction
@@ -947,10 +1220,36 @@ class LakeTable:
                     .cast("long").alias(f"__viol{i}")
                 )
                 aggs.append(F.sum(f"__viol{i}").alias(f"viol{i}"))
-            counts = {
-                int(r["b"]): r.asDict()
-                for r in back.select(*sel).groupBy("b").agg(*aggs).collect()
-            }
+            per_file = back.select(*sel).groupBy("b", "f").agg(*aggs).collect()
+            counts: dict[int, dict] = {}
+            file_stats: dict[int, list[dict]] = {}
+            from urllib.parse import unquote, urlparse
+
+            for row in per_file:
+                r = row.asDict()
+                b = int(r["b"])
+                agg = counts.setdefault(b, {})
+                agg["live"] = agg.get("live", 0) + int(r["live"])
+                agg["dead"] = agg.get("dead", 0) + int(r["dead"])
+                if r.get("mx") is not None:
+                    agg["mn"] = min(agg["mn"], int(r["mn"])) if agg.get("mn") is not None else int(r["mn"])
+                    agg["mx"] = _max_opt(agg.get("mx"), int(r["mx"]))
+                if r.get("cv") is not None:
+                    agg["cv"] = _max_opt(agg.get("cv"), int(r["cv"]))
+                for i, (cname, _e) in enumerate(cons):
+                    agg[f"viol{i}"] = agg.get(f"viol{i}", 0) + int(r[f"viol{i}"] or 0)
+                if stat_cols:
+                    fent: dict = {
+                        "name": os.path.basename(unquote(urlparse(r["f"]).path)),
+                        "rows": int(r["live"]) + int(r["dead"]),
+                    }
+                    st = {}
+                    for i, c in enumerate(stat_cols):
+                        if r[f"st{i}mn"] is not None:
+                            st[c] = [_stat_encode(r[f"st{i}mn"]), _stat_encode(r[f"st{i}mx"])]
+                    if st:
+                        fent["stats"] = st
+                    file_stats.setdefault(b, []).append(fent)
             violations = {
                 cname: n
                 for i, (cname, _e) in enumerate(cons)
@@ -964,6 +1263,7 @@ class LakeTable:
                 )
         else:
             counts = {}
+            file_stats = {}
         for b, ent in out.items():
             r = counts.get(int(b), {})
             ent["rows"] = int(r.get("live", 0))
@@ -972,6 +1272,8 @@ class LakeTable:
                 ent["min_seq"], ent["max_seq"] = int(r["mn"]), int(r["mx"])
             if r.get("cv") is not None:
                 ent["max_cv"] = int(r["cv"])
+            if int(b) in file_stats:
+                ent["files"] = sorted(file_stats[int(b)], key=lambda fe: fe["name"])
         return out
 
     def _bucket_keys_expr(self, schema: T.StructType):
@@ -1192,13 +1494,17 @@ class LakeTable:
         # column-pruned scan of seq + the partition value only (keeps
         # ingest O(batch)); every delta row is new, so max_cv == v.
         # CHECK constraints ride this same scan (live rows only).
+        # With sort_cols the scan aggregates per FILE and records each
+        # file's sort-column min/max — in append mode (no read-time
+        # resolve) `read(filters=...)` prunes delta files with them.
         if out:
             back = self.spark.read.parquet(delta_dir)
             dead = (
                 F.coalesce(F.col(_DELETED), F.lit(False))
                 if _DELETED in back.columns else F.lit(False)
             )
-            sel = [F.col(_BUCKET).alias("b"), F.col(seq).alias("__seq")]
+            sel = [F.col(_BUCKET).alias("b"), F.input_file_name().alias("f"),
+                   F.col(seq).alias("__seq")]
             aggs = [F.min("__seq").alias("mn"), F.max("__seq").alias("mx"),
                     F.count(F.lit(1)).alias("n")]
             if append_only:
@@ -1207,19 +1513,52 @@ class LakeTable:
                 # at read time otherwise — reads never resolve)
                 sel.append(dead.cast("long").alias("__del"))
                 aggs.append(F.sum("__del").alias("n_del"))
+            stat_cols = [
+                c for c in sort_cols
+                if c in back.columns and isinstance(back.schema[c].dataType, _STATS_TYPES)
+            ]
+            for i, c in enumerate(stat_cols):
+                sel.append(F.col(c).alias(f"__st{i}"))
+                aggs += [F.min(f"__st{i}").alias(f"st{i}mn"),
+                         F.max(f"__st{i}").alias(f"st{i}mx")]
             cons = list(m.get("constraints", {}).items())
             for i, (_cname, cexpr) in enumerate(cons):
                 sel.append(((~F.coalesce(F.expr(cexpr), F.lit(True))) & ~dead)
                            .cast("long").alias(f"__viol{i}"))
                 aggs.append(F.sum(f"__viol{i}").alias(f"viol{i}"))
-            stats = {
-                int(r["b"]): r
-                for r in back.select(*sel).groupBy("b").agg(*aggs).collect()
-            }
+            per_file = back.select(*sel).groupBy("b", "f").agg(*aggs).collect()
+            from urllib.parse import unquote, urlparse
+
+            stats: dict[int, dict] = {}
+            file_stats: dict[int, list[dict]] = {}
+            for row in per_file:
+                r = row.asDict()
+                b = int(r["b"])
+                agg = stats.setdefault(b, {})
+                agg["n"] = agg.get("n", 0) + int(r["n"])
+                if r.get("mx") is not None:
+                    agg["mn"] = min(agg["mn"], int(r["mn"])) if agg.get("mn") is not None else int(r["mn"])
+                    agg["mx"] = _max_opt(agg.get("mx"), int(r["mx"]))
+                if append_only:
+                    agg["n_del"] = agg.get("n_del", 0) + int(r["n_del"] or 0)
+                for i, (cname, _e) in enumerate(cons):
+                    agg[f"viol{i}"] = agg.get(f"viol{i}", 0) + int(r[f"viol{i}"] or 0)
+                if stat_cols:
+                    fent: dict = {
+                        "name": os.path.basename(unquote(urlparse(r["f"]).path)),
+                        "rows": int(r["n"]),
+                    }
+                    st = {}
+                    for i, c in enumerate(stat_cols):
+                        if r[f"st{i}mn"] is not None:
+                            st[c] = [_stat_encode(r[f"st{i}mn"]), _stat_encode(r[f"st{i}mx"])]
+                    if st:
+                        fent["stats"] = st
+                    file_stats.setdefault(b, []).append(fent)
             violations = {
                 cname: n
                 for i, (cname, _e) in enumerate(cons)
-                if (n := sum(int(r[f"viol{i}"] or 0) for r in stats.values()))
+                if (n := sum(int(r.get(f"viol{i}") or 0) for r in stats.values()))
             }
             if violations:
                 shutil.rmtree(delta_dir, ignore_errors=True)
@@ -1228,7 +1567,7 @@ class LakeTable:
                     f"{violations} (rows per constraint)"
                 )
             if append_only:
-                n_del = sum(int(r["n_del"] or 0) for r in stats.values())
+                n_del = sum(int(r.get("n_del") or 0) for r in stats.values())
                 if n_del:
                     shutil.rmtree(delta_dir, ignore_errors=True)
                     raise ValueError(
@@ -1237,11 +1576,13 @@ class LakeTable:
                     )
             for b, ent in out.items():
                 r = stats.get(int(b))
-                if r is not None and r["mx"] is not None:
+                if r is not None and r.get("mx") is not None:
                     ent["min_seq"], ent["max_seq"] = int(r["mn"]), int(r["mx"])
                     ent["rows"] = int(r["n"])
                 ent["max_cv"] = v
-            bmx = max((r["mx"] for r in stats.values() if r["mx"] is not None), default=None)
+                if int(b) in file_stats:
+                    ent["files"] = sorted(file_stats[int(b)], key=lambda fe: fe["name"])
+            bmx = max((r["mx"] for r in stats.values() if r.get("mx") is not None), default=None)
         else:
             bmx = None
         m2 = {

@@ -405,6 +405,46 @@ def main() -> int:
         ("Append-only fact read: no window, no shuffle, pushed filter", p17, checks17)
     )
 
+    # 18. file-level data skipping: a selective NON-KEY predicate on a
+    # sort_cols column prunes files from the manifest's per-file
+    # min/max stats BEFORE the scan (Iceberg/Delta column-stats
+    # analog) — this is an IO assertion (files opened), not just a
+    # plan shape: bucket pruning can't help non-key predicates, so
+    # without this every file of every bucket is listed and opened.
+    m18 = LakeTable.create(
+        spark, os.path.join(root, "m18"),
+        T.StructType([T.StructField("k", T.StringType(), True),
+                      T.StructField("size", T.LongType(), True),
+                      T.StructField("v", T.StringType(), True)]),
+        ["k"], n_buckets=4, sort_cols=["size"],
+    )
+    m18.set_properties(target_file_rows=250)
+    m18.merge_cdc(spark.createDataFrame(
+        [(f"k{i}", i, f"v{i}", "insert", i) for i in range(8000)],
+        "k string, size long, v string, op string, seq long"))
+    ss18 = m18.scan_stats(filters=[("size", ">", 7500)])
+    df18 = m18.read(filters=[("size", ">", 7500)])
+    p18 = plan_of(df18)
+    n_open = len(df18.inputFiles())
+    checks18 = []
+    if ss18["files_pruned"] > 0.5 * ss18["files_total"] and n_open == ss18["files_kept"]:
+        checks18.append(
+            f"OK file skipping: scan opens {n_open}/{ss18['files_total']} files "
+            f"({ss18['files_pruned']} pruned by manifest sort-col min/max, "
+            "verified against the physical scan's inputFiles)")
+    else:
+        failures.append(
+            f"data skipping: opened {n_open}, scan_stats {ss18}")
+    if "GreaterThan(size,7500)" in p18:
+        checks18.append("OK residual predicate still pushed into the kept files' "
+                        "scan (row-group stats skip inside them)")
+    else:
+        failures.append("data skipping: residual filter not pushed")
+    sections.append(
+        ("File-level data skipping: non-key predicate prunes files pre-scan",
+         p18, checks18)
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
