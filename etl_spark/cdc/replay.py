@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 KEY = ["repo", "path"]
 BASE_COLS = ["repo", "path", "commit", "lang", "content"]
@@ -108,42 +109,86 @@ def suggest_salt_buckets(
     return max(1, -(-int(top) // target_rows_per_task))
 
 
+def _row_bytes_expr(schema) -> "F.Column":
+    """Approximate serialized row width: exact octet_length for
+    string/binary columns (the payload mass), a flat 8 bytes for
+    everything else — the quantity a reducer's sort actually moves."""
+    total = F.lit(0).cast("long")
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+            total = total + F.coalesce(
+                F.octet_length(F.col(f.name)).cast("long"), F.lit(0)
+            )
+        else:
+            total = total + F.lit(8)
+    return total
+
+
 def decide_salt(
     events: DataFrame,
     keys: list[str] = KEY,
     seq_col: str = "seq",
     salt_threshold: int = 2_000_000,
+    task_bytes_budget: int = 512 << 20,
     sample_mod: int = 20,
     target_rows_per_task: int = 500_000,
+    target_bytes_per_task: int = 128 << 20,
+    probe_bytes: bool = True,
 ) -> dict:
     """The auto-salt policy (SURVEY.md §7 'salt-width heuristic', now
     wired rather than advisory): estimate the hottest key's row count
-    from a deterministic 1/``sample_mod`` sample keyed on
-    ``xxhash64(seq)`` — partitioning-independent, so the decision is
-    reproducible run-to-run — and flip to the two-phase salted dedup
-    only when that estimate exceeds ``salt_threshold`` (the point
-    where ONE reducer's sort/spill capacity is threatened; below it
-    the fused merge's map-side partial aggregation / WindowGroupLimit
-    absorbs the hot key with no extra payload pass — measured in
-    bench.py cdc.skew: fused beats salted at 50%-hot-of-1M).
+    AND byte mass from a deterministic 1/``sample_mod`` sample keyed
+    on ``xxhash64(seq)`` — partitioning-independent, so the decision
+    is reproducible run-to-run — and flip to the two-phase salted
+    dedup when either estimate says ONE reducer's sort is threatened:
 
-    Cost: one keys-only aggregation over the sample (column pruning
-    keeps the payload columns out of the scan) — a few percent of the
-    merge itself. ``sample_mod=1`` makes the probe exact (used by the
-    boundary-pinning test). Salt width when flipping:
-    ceil(est_top / target_rows_per_task), min 2."""
-    sampled = events.select(*keys, seq_col).filter(
-        F.pmod(F.xxhash64(F.col(seq_col)), F.lit(sample_mod)) == 0
+    - ``est_top_key_rows > salt_threshold`` (row form), or
+    - ``est_top_key_bytes > task_bytes_budget`` (byte form — the real
+      constraint; the round-4 verdict caught the fixed row count
+      leaving a 599k-row × ~2 KB ≈ 1.2 GB hot key fused when the
+      explicitly salted plan measured faster. Bytes are what spill.)
+
+    Below both bounds the fused merge's WindowGroupLimit absorbs the
+    hot key with no extra payload pass (bench.py cdc.skew, best-of-2).
+
+    Cost: one aggregation over the sample. With ``probe_bytes`` the
+    scan includes the string/binary columns' octet_length (≈1/20th of
+    a payload-column read, no shuffle of payloads — per-key byte sums
+    travel, not rows); ``probe_bytes=False`` restores the keys-only
+    probe and row-count-only policy. ``sample_mod=1`` makes the probe
+    exact (used by the boundary-pinning tests). Salt width when
+    flipping: enough buckets that each holds under
+    ``target_rows_per_task`` rows AND ``target_bytes_per_task``
+    bytes of the hot key, min 2."""
+    cols = [*keys, seq_col]
+    sampled = events.select(
+        *cols,
+        *( [_row_bytes_expr(events.schema).alias("__bytes")] if probe_bytes else [] ),
+    ).filter(F.pmod(F.xxhash64(F.col(seq_col)), F.lit(sample_mod)) == 0)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if probe_bytes:
+        aggs.append(F.sum("__bytes").alias("bb"))
+    per_key = sampled.groupBy(*keys).agg(*aggs)
+    tops = [F.max("n").alias("m")]
+    if probe_bytes:
+        tops.append(F.max("bb").alias("mb"))
+    r = per_key.agg(*tops).first()
+    est = int(r["m"] or 0) * sample_mod
+    est_bytes = int(r["mb"] or 0) * sample_mod if probe_bytes else None
+    over_rows = est > salt_threshold
+    over_bytes = probe_bytes and est_bytes > task_bytes_budget
+    if not (over_rows or over_bytes):
+        return {"salted": False, "salt_buckets": 1,
+                "est_top_key_rows": est, "est_top_key_bytes": est_bytes,
+                "reason": "under_thresholds"}
+    width = max(
+        2,
+        -(-est // target_rows_per_task),
+        -(-(est_bytes or 0) // target_bytes_per_task),
     )
-    top = sampled.groupBy(*keys).count().agg(F.max("count").alias("m")).first()["m"] or 0
-    est = int(top) * sample_mod
-    if est <= salt_threshold:
-        return {"salted": False, "salt_buckets": 1, "est_top_key_rows": est}
-    return {
-        "salted": True,
-        "salt_buckets": max(2, -(-est // target_rows_per_task)),
-        "est_top_key_rows": est,
-    }
+    return {"salted": True, "salt_buckets": width,
+            "est_top_key_rows": est, "est_top_key_bytes": est_bytes,
+            "reason": "rows" if over_rows else "bytes"}
 
 
 def batch_digest(staged: DataFrame, seq_col: str = "seq") -> str:
@@ -164,6 +209,7 @@ def apply_batch(
     epoch=None,
     salted: bool | str = False,
     salt_threshold: int = 2_000_000,
+    salt_task_bytes_budget: int = 512 << 20,
     salt_sample_mod: int = 20,
     max_retries: int = 0,
 ) -> dict:
@@ -197,7 +243,8 @@ def apply_batch(
     salt_buckets = 32
     if salted == "auto":
         decision = decide_salt(
-            events, salt_threshold=salt_threshold, sample_mod=salt_sample_mod
+            events, salt_threshold=salt_threshold,
+            task_bytes_budget=salt_task_bytes_budget, sample_mod=salt_sample_mod,
         )
         salted = decision["salted"]
         salt_buckets = decision["salt_buckets"]

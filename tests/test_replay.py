@@ -159,12 +159,62 @@ def test_decide_salt_boundary(spark):
         F.col("id").alias("seq"),
     )
     at = decide_salt(ev, salt_threshold=1000, sample_mod=1)
-    assert at == {"salted": False, "salt_buckets": 1, "est_top_key_rows": 1000}
+    assert (at["salted"], at["salt_buckets"], at["est_top_key_rows"]) == (False, 1, 1000)
     above = decide_salt(ev, salt_threshold=999, sample_mod=1, target_rows_per_task=300)
-    assert above["salted"] is True
+    assert above["salted"] is True and above["reason"] == "rows"
     assert above["salt_buckets"] == 4  # ceil(1000/300)
     tiny = decide_salt(ev, salt_threshold=10, sample_mod=1, target_rows_per_task=100_000)
     assert tiny["salted"] is True and tiny["salt_buckets"] == 2  # floor of 2
+
+
+def test_decide_salt_bytes_boundary(spark):
+    """The round-4 verdict's miscalibration fix, pinned: a hot key
+    UNDER the row threshold but whose payload byte mass exceeds the
+    task budget flips to salted on the BYTES rule; disabling the byte
+    probe restores the row-only policy; the width covers bytes."""
+    from etl_spark.cdc.replay import decide_salt
+
+    # 1000 rows x ~1 KB payload on one key = ~1 MB through one reducer
+    ev = spark.range(1000).select(
+        F.lit("hot/repo").alias("repo"), F.lit("src/f.rs").alias("path"),
+        F.col("id").alias("seq"),
+        F.concat(F.lit("x" * 1000), F.col("id").cast("string")).alias("content"),
+    )
+    d = decide_salt(ev, salt_threshold=2_000_000, task_bytes_budget=500_000,
+                    sample_mod=1, target_bytes_per_task=200_000)
+    assert d["salted"] is True and d["reason"] == "bytes"
+    assert d["est_top_key_rows"] == 1000  # rows alone would stay fused
+    assert 1_000_000 < d["est_top_key_bytes"] < 1_100_000
+    assert d["salt_buckets"] == -(-d["est_top_key_bytes"] // 200_000)
+    # same batch, byte probe off: row-only policy stays fused
+    off = decide_salt(ev, salt_threshold=2_000_000, task_bytes_budget=500_000,
+                      sample_mod=1, probe_bytes=False)
+    assert off["salted"] is False and off["est_top_key_bytes"] is None
+    # under budget: fused, and the byte estimate is still reported
+    under = decide_salt(ev, salt_threshold=2_000_000, task_bytes_budget=2_000_000,
+                        sample_mod=1)
+    assert under["salted"] is False and under["est_top_key_bytes"] > 1_000_000
+
+
+def test_auto_salt_bytes_flip_matches_oracle(spark, repos_schema, tmp_path):
+    """End-to-end: apply_batch(salted='auto') flips on the byte rule
+    for a fat-payload hot key and still converges to the right state."""
+    n = 500
+    ev = generate_events(spark, n)
+    fat = (
+        ev.withColumn("repo", F.lit("org0/hotrepo"))
+        .withColumn("path", F.lit("src/hot.rs"))
+        .withColumn("content", F.concat(F.lit("y" * 2000), F.col("seq").cast("string")))
+    )
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), repos_schema, ["repo", "path"], n_buckets=8)
+    stats = R.apply_batch(tbl, fat, epoch=0, salted="auto",
+                          salt_task_bytes_budget=100_000, salt_sample_mod=1)
+    assert stats["salt_decision"]["salted"] is True
+    assert stats["salt_decision"]["reason"] == "bytes"
+    rows = tbl.read().collect()
+    assert len(rows) <= 1  # one key; latest event wins (or was a delete)
+    if rows:
+        assert rows[0]["content"].startswith("y" * 2000)
 
 
 def test_auto_salt_pathological_flips_and_matches(spark, repos_schema, tmp_path):
