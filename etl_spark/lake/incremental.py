@@ -130,6 +130,12 @@ DIM_PROP = "sync_dim_version"
 # changed-dim-key probes above this row count stop broadcasting and
 # fall back to a shuffle semi join (a dim bootstrap changes EVERY key)
 _BROADCAST_PROBE_MAX = 2_000_000
+# dirty-group sets up to this size are collected so the recount scan
+# can pass literal IN filters to read() — file-level data skipping
+# then prunes the source files whose sort-col ranges miss every dirty
+# group; beyond it (a mass delete) only the broadcast semi join
+# bounds the recount, without the driver ever holding the full set
+_RECOUNT_COLLECT_MAX = 10_000
 
 
 def agg_view_schema(
@@ -338,6 +344,7 @@ def sync_agg(
     group_cols: list[str],
     sum_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    distinct_on_retract: str = "recount",
     max_retries: int = 3,
 ) -> dict:
     """Incremental materialized aggregate: maintain per-group ``n``
@@ -373,19 +380,35 @@ def sync_agg(
     ``sk_<c>``, the readable estimate in ``nd_<c>``. Sketch union is
     set-semantics (idempotent, commutative, mergeable across
     executors) — exactly what a 100-TB distributed view wants — but it
-    CANNOT retract, so distinct sketches require an INSERT-ONLY change
-    feed; a sync that sees any update/delete while ``distinct_cols``
-    is set raises instead of silently under-counting. Estimates are
-    exact while a group's sketch stays in sparse mode (hundreds of
-    distinct values) and ~1.6% relative error beyond.
+    CANNOT retract. Insert-only syncs pay only the sketch union; when
+    a sync's feed carries updates/deletes, the groups that LOST values
+    (the retractions' preimage groups — already computed for count/sum
+    retraction) are exactly recounted from the source snapshot and
+    their sketches rebuilt, while every untouched or insert-only group
+    keeps its cheap mergeable sketch. The recount is O(dirty groups):
+    the dirty set drives literal IN filters into ``src.read`` (file-
+    level data skipping prunes source files when ``src`` clusters by
+    the group columns via ``sort_cols``) plus a broadcast semi join,
+    never a full-table recompute; above ``_RECOUNT_COLLECT_MAX`` dirty
+    groups only the semi join bounds it. ``distinct_on_retract`` =
+    ``"error"`` restores the strict insert-only contract (raise rather
+    than pay any recount — the right mode for latency-bound syncs over
+    sources that are supposed to be append-only). Estimates are exact
+    while a group's sketch stays in sparse mode (hundreds of distinct
+    values), ~1.6% relative error beyond, and exact again for any
+    group a retraction sync just recounted.
     """
+    if distinct_on_retract not in ("recount", "error"):
+        raise ValueError("distinct_on_retract must be 'recount' or 'error'")
     return _with_conflict_retry(
-        lambda: _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols),
+        lambda: _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols,
+                               distinct_on_retract),
         max_retries,
     )
 
 
-def _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols=None) -> dict:
+def _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols=None,
+                   distinct_on_retract="recount") -> dict:
     sum_cols = sum_cols or []
     distinct_cols = distinct_cols or []
     v_from = int(dst.properties.get(SYNC_PROP, 0))
@@ -394,14 +417,30 @@ def _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols=None) -> dict:
         return {"skipped": True, "from_version": v_from, "to_version": v_to}
     ch = src.changes(v_from, v_to, preimage_cols=[*group_cols, *sum_cols])
     t = F.col("_change_type")
+    recount, recount_stats = None, {}
     if distinct_cols:
-        # HLL sketches cannot retract: enforce the insert-only contract
-        # fast (one keys-only probe over the changed buckets)
-        if ch.filter(t != "insert").limit(1).count() > 0:
-            raise ValueError(
-                "distinct_cols requires an insert-only change feed: HLL "
-                "sketches cannot retract updates/deletes — drop "
-                "distinct_cols for this view or keep the source append-only"
+        # the feed is consumed again below (adds/subs); cache the
+        # O(changed buckets) classification instead of recomputing it
+        ch = ch.persist()
+        # groups that LOST a value are exactly the retractions'
+        # preimage groups: deletes retract their row, updates retract
+        # the old value (an update moving INTO a group only adds there
+        # — sketch-unionable — while its preimage group is dirty)
+        dirty = ch.filter(t != "insert").select(
+            *[F.col(f"_pre_{g}").alias(g) for g in group_cols]
+        ).distinct()
+        dirty_rows = dirty.limit(_RECOUNT_COLLECT_MAX + 1).collect()
+        if dirty_rows:
+            if distinct_on_retract == "error":
+                ch.unpersist()
+                raise ValueError(
+                    "distinct_cols requires an insert-only change feed "
+                    "under distinct_on_retract='error': HLL sketches "
+                    "cannot retract updates/deletes — use the default "
+                    "'recount' mode or keep the source append-only"
+                )
+            recount, recount_stats = _exact_distinct_recount(
+                src, v_to, group_cols, distinct_cols, dirty, dirty_rows
             )
     adds = ch.filter(t != "delete").select(
         *[F.col(g) for g in group_cols],
@@ -449,6 +488,17 @@ def _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols=None) -> dict:
         [F.col(g).eqNullSafe(F.col(f"_k_{g}")) for g in group_cols],
     )
     j = delta.join(cur, cond, "left").drop(*[f"_k_{g}" for g in group_cols])
+    if recount is not None:
+        # every dirty group has a subs row, hence a delta (= feed) row:
+        # the left join reaches them all. The recount set is O(dirty
+        # groups) — broadcast it like the current-aggregate side.
+        rcond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(g).eqNullSafe(F.col(f"_r_{g}")) for g in group_cols],
+        )
+        j = j.join(F.broadcast(recount), rcond, "left").drop(
+            *[f"_r_{g}" for g in group_cols]
+        )
     new_n = F.coalesce(F.col("_cur_n"), F.lit(0)) + F.col("_dn")
     def _merged_sketch(c):
         cursk, dsk = F.col(f"_cursk_{c}"), F.col(f"_dsk_{c}")
@@ -458,6 +508,18 @@ def _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols=None) -> dict:
             .otherwise(F.hll_union(cursk, dsk))
         )
 
+    def _nd(c):
+        est = F.hll_sketch_estimate(_merged_sketch(c))
+        if recount is None:
+            return est
+        return F.when(F.col("_rhit").isNotNull(), F.col(f"_xnd_{c}")).otherwise(est)
+
+    def _sk(c):
+        merged = _merged_sketch(c)
+        if recount is None:
+            return merged
+        return F.when(F.col("_rhit").isNotNull(), F.col(f"_xsk_{c}")).otherwise(merged)
+
     feed = j.select(
         *[F.col(g) for g in group_cols],
         new_n.alias("n"),
@@ -466,8 +528,8 @@ def _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols=None) -> dict:
             for c in sum_cols
         ],
         *[c for dc in distinct_cols for c in (
-            F.hll_sketch_estimate(_merged_sketch(dc)).alias(f"nd_{dc}"),
-            _merged_sketch(dc).alias(f"sk_{dc}"),
+            _nd(dc).alias(f"nd_{dc}"),
+            _sk(dc).alias(f"sk_{dc}"),
         )],
         F.when(new_n <= 0, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
         F.lit(v_to).cast("long").alias("seq"),
@@ -480,5 +542,61 @@ def _sync_agg_once(src, dst, group_cols, sum_cols, distinct_cols=None) -> dict:
         )
     finally:
         delta.unpersist()
+        if distinct_cols:
+            ch.unpersist()
     _advance_pin(src, dst, v_to)
-    return {**stats, "skipped": False, "from_version": v_from, "to_version": v_to}
+    return {**stats, **recount_stats, "skipped": False,
+            "from_version": v_from, "to_version": v_to}
+
+
+def _exact_distinct_recount(src, v_to, group_cols, distinct_cols, dirty, dirty_rows):
+    """Exact per-group distinct state for the groups a retraction
+    touched: count_distinct (the authoritative ``nd``) + a rebuilt HLL
+    sketch (so later insert-only syncs union onto truthful state),
+    computed from ``src``'s snapshot at ``v_to`` restricted to the
+    dirty groups. Restriction is two-layered: literal IN filters let
+    ``read``'s file-level data skipping drop source files whose
+    sort-col ranges miss every dirty group (when src clusters by the
+    group columns), and a broadcast semi join bounds the rows exactly
+    (also the sole guard for NULL group values, which IN cannot match,
+    and for dirty sets too large to collect). Returns (recount_df,
+    io_stats); recount rows carry ``_r_<g>`` keys, ``_xnd_``/``_xsk_``
+    values and an ``_rhit`` marker."""
+    filters = []
+    if len(dirty_rows) <= _RECOUNT_COLLECT_MAX:
+        for g in group_cols:
+            vals = [r[g] for r in dirty_rows]
+            # a NULL dirty value can't ride a (null-rejecting) IN
+            # filter — skip this column's filter, the semi join catches it
+            if all(v is not None for v in vals):
+                filters.append((g, "in", sorted(set(vals))))
+    io = src.scan_stats(filters=filters or None, version=v_to)
+    scan = src.read(version=v_to, filters=filters or None)
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(g).eqNullSafe(F.col(f"_d_{g}")) for g in group_cols],
+    )
+    dirty_k = F.broadcast(
+        dirty.select(*[F.col(g).alias(f"_d_{g}") for g in group_cols])
+    )
+    recount = (
+        scan.join(dirty_k, cond, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            *[F.count_distinct(F.col(c)).alias(f"_xnd_{c}") for c in distinct_cols],
+            *[F.hll_sketch_agg(F.col(c)).alias(f"_xsk_{c}") for c in distinct_cols],
+        )
+        .select(
+            *[F.col(g).alias(f"_r_{g}") for g in group_cols],
+            *[F.col(f"_xnd_{c}") for c in distinct_cols],
+            *[F.col(f"_xsk_{c}") for c in distinct_cols],
+            F.lit(1).alias("_rhit"),
+        )
+    )
+    stats = {
+        "recount_groups": min(len(dirty_rows), _RECOUNT_COLLECT_MAX),
+        "recount_files_kept": io["files_kept"],
+        "recount_files_total": io["files_total"],
+        "recount_pruning_active": io["pruning_active"],
+    }
+    return recount, stats

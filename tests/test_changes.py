@@ -854,14 +854,124 @@ def test_sync_agg_distinct_sketches(spark, tmp_path):
     check()
     assert sync_agg(src, dst, ["grp"], ["metric"], ["k"])["skipped"] is True
 
-    # retraction under distinct_cols is refused (HLL cannot retract)
+    # retraction under the strict mode is refused (HLL cannot retract)
     src.merge_cdc(_agg_rows(spark, [("a", None, None, "delete", 7)]))
     with pytest.raises(ValueError, match="insert-only"):
-        sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+        sync_agg(src, dst, ["grp"], ["metric"], ["k"], distinct_on_retract="error")
+    # the refused sync left no trace: the default recount mode then
+    # applies the same delete and the view matches an exact recompute
+    stats = sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    assert stats["recount_groups"] == 1
+    check()
     # without distinct_cols the same view family still retracts fine
     plain = _agg_dst(spark, tmp_path, name="plain")
     sync_agg(src, plain, ["grp"], ["metric"])
     assert {r["grp"]: r["n"] for r in plain.read().collect()} == {"g1": 2, "g2": 2, "g3": 1}
+
+
+def test_sync_agg_distinct_recount_on_retraction(spark, tmp_path):
+    """Deletes/updates under distinct_cols: the retractions' preimage
+    groups are exactly recounted (nd exact, sketch rebuilt) while
+    insert-only groups keep the sketch-union path; group moves, full
+    group emptying, and a later insert-only sync unioning onto a
+    rebuilt sketch all match an exact recompute."""
+    from etl_spark.lake.incremental import agg_view_schema, sync_agg
+
+    src = _agg_src(spark, tmp_path)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "rc"),
+        agg_view_schema(src, ["grp"], ["metric"], ["k"]),
+        ["grp"], n_buckets=4,
+    )
+
+    def check():
+        want = {
+            (r["grp"], r["n"], r["s"], r["nd"])
+            for r in src.read().groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("metric").alias("s"),
+                F.countDistinct("k").alias("nd")).collect()
+        }
+        got = {(r["grp"], r["n"], r["sum_metric"], r["nd_k"])
+               for r in dst.read().collect()}
+        assert got == want, (got, want)
+
+    src.merge_cdc(_agg_rows(spark, [
+        ("a", "g1", 1, "insert", 1), ("b", "g1", 2, "insert", 2),
+        ("c", "g2", 3, "insert", 3), ("d", "g2", 4, "insert", 4),
+        ("e", "g3", 5, "insert", 5),
+    ]))
+    sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    check()
+
+    # one sync carrying a delete (g1 loses a), a group move (c: g2->g1)
+    # and g3 fully emptied — g1/g2/g3 are all dirty via preimages
+    src.merge_cdc(_agg_rows(spark, [
+        ("a", None, None, "delete", 6),
+        ("c", "g1", 30, "update", 7),
+        ("e", None, None, "delete", 8),
+    ]))
+    stats = sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    assert stats["recount_groups"] == 3
+    check()
+    assert {r["grp"] for r in dst.read().collect()} == {"g1", "g2"}
+
+    # later insert-only sync: unions onto the REBUILT g1 sketch
+    src.merge_cdc(_agg_rows(spark, [
+        ("f", "g1", 7, "insert", 9), ("g", "g2", 8, "insert", 10),
+    ]))
+    stats = sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    assert "recount_groups" not in stats  # pure sketch path
+    check()
+
+    # NULL group values ride the semi join (IN can't match them)
+    src.merge_cdc(_agg_rows(spark, [("h", None, 9, "insert", 11)]))
+    sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    src.merge_cdc(_agg_rows(spark, [("h", None, None, "delete", 12)]))
+    stats = sync_agg(src, dst, ["grp"], ["metric"], ["k"])
+    assert stats["recount_groups"] == 1
+    check()
+
+
+def test_sync_agg_recount_prunes_source_files(spark, tmp_path):
+    """The recount's O(dirty groups) IO claim, pinned: when src
+    clusters by the group column (sort_cols), the recount scan's
+    literal IN filters engage file-level data skipping — files whose
+    group range misses every dirty group are never opened."""
+    from etl_spark.lake.incremental import agg_view_schema, sync_agg
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("metric", T.LongType(), True),
+    ])
+    src = LakeTable.create(spark, str(tmp_path / "skipsrc"), schema, ["k"],
+                           n_buckets=1, sort_cols=["grp"])
+    src.set_properties(target_file_rows=5)  # one file per group range
+    dst = LakeTable.create(
+        spark, str(tmp_path / "skipdst"),
+        agg_view_schema(src, ["grp"], distinct_cols=["k"]),
+        ["grp"], n_buckets=4,
+    )
+    src.merge_cdc(_agg_rows(spark, [
+        (f"{grp}_{i}", grp, i, "insert", e * 100 + i)
+        for e, grp in enumerate(["g_a", "g_b", "g_c", "g_d"])
+        for i in range(5)
+    ]), epoch=0)
+    sync_agg(src, dst, ["grp"], distinct_cols=["k"])
+    assert src.scan_stats()["files_total"] >= 4  # target_file_rows split
+    # delete one row of ONE group: only that group's file(s) are opened
+    src.merge_cdc(_agg_rows(spark, [("g_c_0", None, None, "delete", 999)]),
+                  epoch=1)
+    stats = sync_agg(src, dst, ["grp"], distinct_cols=["k"])
+    assert stats["recount_groups"] == 1
+    assert stats["recount_pruning_active"] is True
+    assert stats["recount_files_kept"] < stats["recount_files_total"], stats
+    want = {
+        (r["grp"], r["nd"])
+        for r in src.read().groupBy("grp").agg(F.countDistinct("k").alias("nd")).collect()
+    }
+    got = {(r["grp"], r["nd_k"]) for r in dst.read().collect()}
+    assert got == want
 
 
 def test_append_facts_feed_distinct_view(spark, tmp_path):

@@ -445,6 +445,51 @@ def main() -> int:
          p18, checks18)
     )
 
+    # 19. distinct-view retraction recount is O(dirty groups) IO: the
+    # groups a delete touched drive literal IN filters into the source
+    # scan, so file-level data skipping (sort_cols = group column)
+    # opens only the dirty groups' files — an exact recount WITHOUT a
+    # full-table recompute. Asserted from sync_agg's own recount IO
+    # stats (the same scan_stats gate the read uses).
+    from etl_spark.lake.incremental import agg_view_schema, sync_agg
+
+    m19 = LakeTable.create(
+        spark, os.path.join(root, "m19"),
+        T.StructType([T.StructField("k", T.StringType(), True),
+                      T.StructField("grp", T.StringType(), True)]),
+        ["k"], n_buckets=1, sort_cols=["grp"],
+    )
+    m19.set_properties(target_file_rows=50)
+    m19.merge_cdc(spark.createDataFrame(
+        [(f"g{g}_{i}", f"g{g:02d}", "insert", g * 1000 + i)
+         for g in range(8) for i in range(50)],
+        "k string, grp string, op string, seq long"))
+    d19 = LakeTable.create(
+        spark, os.path.join(root, "m19v"),
+        agg_view_schema(m19, ["grp"], distinct_cols=["k"]),
+        ["grp"], n_buckets=4,
+    )
+    sync_agg(m19, d19, ["grp"], distinct_cols=["k"])
+    m19.merge_cdc(spark.createDataFrame(
+        [("g3_0", None, "delete", 99999)], "k string, grp string, op string, seq long"))
+    st19 = sync_agg(m19, d19, ["grp"], distinct_cols=["k"])
+    checks19 = []
+    if (st19.get("recount_pruning_active")
+            and st19["recount_files_kept"] < st19["recount_files_total"]
+            and st19["recount_groups"] == 1):
+        checks19.append(
+            f"OK retraction recount IO: 1 dirty group -> scan opens "
+            f"{st19['recount_files_kept']}/{st19['recount_files_total']} source "
+            "files (IN-filter file skipping on the group sort_col); every "
+            "other group keeps its mergeable HLL sketch")
+    else:
+        failures.append(f"distinct recount not pruned: {st19}")
+    sections.append(
+        ("Distinct-view retraction recount: O(dirty groups) source IO",
+         "(IO assertion from sync_agg recount stats; "
+         f"stats: {st19})", checks19)
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
