@@ -33,7 +33,11 @@ if _HERE not in sys.path:
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_spark.cdc.replay import dedup_latest, dedup_latest_salted
+from etl_spark.cdc.replay import (
+    dedup_latest,
+    dedup_latest_keys_first,
+    dedup_latest_salted,
+)
 from etl_spark.dedup.embed import cosine_sim, embedding_neardup_pairs
 from etl_spark.dedup.exact import exact_dup_groups
 from etl_spark.dedup.jaccard import ngram_jaccard_pairs
@@ -162,6 +166,18 @@ FROM (
   FROM events
 ) t WHERE rn = 1
 """
+
+
+def q_cdc_latest_wins_keys_first(spark, sf_dir):
+    """The wide-row resolve (etl_spark.cdc.replay.dedup_latest_keys_first):
+    winners decided on a keys-only shuffle, payload rows broadcast-semi
+    filtered map-side — the large-payload (multimodal blob) regime's
+    plan, contract-checked against the same latest-wins oracle as the
+    fused form."""
+    ev = _t(spark, sf_dir, "events")
+    return dedup_latest_keys_first(ev, keys=["user_id"], seq_col="event_id").select(
+        "user_id", "event_id", "ts", "event_type", _r("value", 6).alias("value"), "props"
+    )
 
 
 def q_cdc_replay_state(spark, sf_dir):
@@ -2665,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_wins": q_cdc_latest_wins,
         "cdc_latest_wins_salted": q_cdc_latest_wins_salted,
+        "cdc_latest_wins_keys_first": q_cdc_latest_wins_keys_first,
         "cdc_replay_state": q_cdc_replay_state,
         "cdc_merge_table": q_cdc_merge_table,
         "cdc_merge_evolved": q_cdc_merge_evolved,
@@ -2751,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_latest_wins": _SQL_LATEST,
         "cdc_latest_wins_salted": _SQL_LATEST,
+        "cdc_latest_wins_keys_first": _SQL_LATEST,
         "cdc_replay_state": """
 SELECT user_id, event_id, event_type, SHA256(props) AS props_sha256
 FROM (

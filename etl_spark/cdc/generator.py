@@ -73,6 +73,7 @@ def generate_events(
     evolve_add: int | None = None,
     evolve_widen: int | None = None,
     partitions: int | None = None,
+    body_bytes: int | None = None,
 ) -> DataFrame:
     """Event rows for seq in [start, end) of an n_events-sized log.
 
@@ -106,10 +107,18 @@ def generate_events(
         F.element_at(F.array(*[F.lit(l) for l in LANGS]), ((lang_h % 4) + 1).cast("int"))
     )
 
-    body_len = (64 + (_h("len", seq) % 4033)).cast("int")
-    body = F.substring(
-        F.repeat(F.sha2(F.concat(F.lit("body:"), seq.cast("string")), 256), 64), 1, 4096
-    ).substr(F.lit(1), body_len)
+    if body_bytes is None:
+        body_len = (64 + (_h("len", seq) % 4033)).cast("int")
+        body = F.substring(
+            F.repeat(F.sha2(F.concat(F.lit("body:"), seq.cast("string")), 256), 64), 1, 4096
+        ).substr(F.lit(1), body_len)
+    else:
+        # fixed-width wide payloads (the multimodal-blob regime for
+        # bench.py cdc.payload_scaling): still a pure function of seq
+        body = F.repeat(
+            F.sha2(F.concat(F.lit("body:"), seq.cast("string")), 256),
+            -(-body_bytes // 64),
+        ).substr(F.lit(1), F.lit(int(body_bytes)))
     content = F.when(
         op == "delete", F.lit(None).cast("string")
     ).otherwise(F.concat(F.lit("// "), repo, F.lit("/"), path, F.lit("@"), commit, F.lit("\n"), body))

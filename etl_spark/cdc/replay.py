@@ -22,6 +22,19 @@ tested:
   column, for the case where per-key payloads are so wide that even
   partial-agg rows are heavy; demonstrates the salted-repartition
   pattern from the north rule.
+
+Large payloads: a multimodal corpus carries 100 KB-10 MB blobs per
+row; there the dominant cost is not the reduce-side sort but simply
+MOVING every event's payload through the merge shuffle. The
+``keys_first`` path (``dedup_latest_keys_first``) resolves winners on
+a keys-only projection — the shuffle carries (repo, path, seq), tens
+of bytes per row — then broadcasts the winning (key, seq) set back as
+a map-side semi filter, so losing events' payloads never cross a
+shuffle at all; only the winners (one row per key) travel to their
+buckets. ``apply_batch(resolve="auto")`` flips to it from the same
+sampled probe ``decide_salt`` uses, when the estimated payload width
+crosses ``payload_threshold_bytes`` and the winner set fits the
+broadcast budget.
 """
 
 from __future__ import annotations
@@ -77,6 +90,35 @@ def dedup_latest_salted(
     )
 
 
+def dedup_latest_keys_first(
+    events: DataFrame, keys: list[str] = KEY, seq_col: str = "seq"
+) -> DataFrame:
+    """Latest-wins dedup for WIDE rows: the winner per key is decided
+    on a keys-only projection (parquet/codegen prunes the payload
+    columns out of the scan feeding the aggregate, so the resolve
+    shuffle moves (keys, seq) — a few dozen bytes/row regardless of
+    payload width), then the winning (key, seq) set is broadcast back
+    as a LEFT SEMI filter that runs map-side over the full rows.
+
+    Net data motion: keys-only shuffle + one broadcast of one row per
+    key + the WINNERS' payloads moving to their buckets in the merge —
+    losing events' payloads are filtered where they were read and
+    never enter a shuffle. Same answer as ``dedup_latest`` for any
+    input where ``seq`` is unique per key (the WAL contract; with
+    duplicated (key, seq) ties both forms keep an arbitrary tied row).
+
+    The broadcast is one row per DISTINCT key in the batch — bounded
+    by batch keys, not events. ``decide_payload_resolve`` guards the
+    auto path with a byte budget; callers with >~100M-key batches
+    should split the batch or stay on the fused path."""
+    winners = (
+        events.select(*keys, seq_col)
+        .groupBy(*keys)
+        .agg(F.max(seq_col).alias(seq_col))
+    )
+    return events.join(F.broadcast(winners), [*keys, seq_col], "leftsemi")
+
+
 def with_content_sha256(df: DataFrame) -> DataFrame:
     """Per-row content checksum — the reference's step-input checksum
     (etl/steps/__init__.py:451-466) shrunk to row granularity. Native
@@ -87,10 +129,18 @@ def with_content_sha256(df: DataFrame) -> DataFrame:
     )
 
 
-def stage_batch(events: DataFrame, salted: bool = False, salt_buckets: int = 32) -> DataFrame:
+def stage_batch(
+    events: DataFrame, salted: bool = False, salt_buckets: int = 32,
+    keys_first: bool = False,
+) -> DataFrame:
     """events -> one staged row per key, checksummed, ready to MERGE."""
     ev = canonicalize(events)
-    dd = dedup_latest_salted(ev, salt_buckets=salt_buckets) if salted else dedup_latest(ev)
+    if salted:
+        dd = dedup_latest_salted(ev, salt_buckets=salt_buckets)
+    elif keys_first:
+        dd = dedup_latest_keys_first(ev)
+    else:
+        dd = dedup_latest(ev)
     return with_content_sha256(dd).drop("ts")
 
 
@@ -191,6 +241,69 @@ def decide_salt(
             "reason": "rows" if over_rows else "bytes"}
 
 
+def decide_payload_resolve(
+    events: DataFrame,
+    keys: list[str] = KEY,
+    seq_col: str = "seq",
+    payload_threshold_bytes: int = 32 << 10,
+    min_events_per_key: float = 1.2,
+    broadcast_budget_bytes: int = 256 << 20,
+    sample_mod: int = 20,
+) -> dict:
+    """Pick fused vs keys-first resolve for a batch (SURVEY.md hard
+    part #1 at multimodal row widths). Two cheap probes:
+
+    - average serialized row width from the same deterministic
+      1/``sample_mod`` xxhash64(seq) sample ``decide_salt`` uses (the
+      only pass that touches payload columns, and only 1/20th of it);
+    - batch row count + approx distinct keys + average key width from
+      one COLUMN-PRUNED pass over the key columns (never the payload;
+      the keys-first path itself pays this same keys-only scan, so
+      the probe pre-pays work the chosen plan reuses).
+
+    Flip to keys-first iff ALL hold:
+    - est_avg_row_bytes > ``payload_threshold_bytes`` — narrow rows
+      gain nothing; the fused single-shuffle plan stays optimal;
+    - est events/key >= ``min_events_per_key`` — the saving is the
+      LOSERS' payloads (1 - keys/rows of the shuffle volume);
+    - est winner-set bytes (distinct keys x (key width + 8)) fit
+      ``broadcast_budget_bytes`` — the semi filter must broadcast.
+
+    ``sample_mod=1`` makes the width probe exact (boundary tests)."""
+    key_bytes = F.lit(8).cast("long")
+    for k in keys:
+        key_bytes = key_bytes + F.coalesce(
+            F.octet_length(F.col(k).cast("string")).cast("long"), F.lit(0)
+        )
+    kr = events.select(*keys, key_bytes.alias("__kb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.struct(*keys)).alias("k"),
+        F.avg("__kb").alias("kb"),
+    ).first()
+    n_rows, n_keys = int(kr["n"] or 0), max(int(kr["k"] or 0), 1)
+    sampled = events.select(
+        seq_col, _row_bytes_expr(events.schema).alias("__bytes")
+    ).filter(F.pmod(F.xxhash64(F.col(seq_col)), F.lit(sample_mod)) == 0)
+    sr = sampled.agg(F.avg("__bytes").alias("b")).first()
+    avg_row_bytes = float(sr["b"] or 0.0)
+    events_per_key = n_rows / n_keys if n_rows else 0.0
+    bcast_bytes = int(n_keys * (float(kr["kb"] or 0.0)))
+    out = {
+        "est_rows": n_rows,
+        "est_keys": n_keys,
+        "est_avg_row_bytes": int(avg_row_bytes),
+        "est_events_per_key": round(events_per_key, 2),
+        "est_broadcast_bytes": bcast_bytes,
+    }
+    if avg_row_bytes <= payload_threshold_bytes:
+        return {**out, "keys_first": False, "reason": "narrow_rows"}
+    if events_per_key < min_events_per_key:
+        return {**out, "keys_first": False, "reason": "no_losers"}
+    if bcast_bytes > broadcast_budget_bytes:
+        return {**out, "keys_first": False, "reason": "winner_set_too_big"}
+    return {**out, "keys_first": True, "reason": "wide_rows"}
+
+
 def batch_digest(staged: DataFrame, seq_col: str = "seq") -> str:
     """Order-independent digest of a staged batch: bit_xor of per-row
     64-bit hashes (commutative reduction — SURVEY.md hard part #3:
@@ -211,6 +324,8 @@ def apply_batch(
     salt_threshold: int = 2_000_000,
     salt_task_bytes_budget: int = 512 << 20,
     salt_sample_mod: int = 20,
+    resolve: str = "fused",
+    payload_threshold_bytes: int = 32 << 10,
     max_retries: int = 0,
 ) -> dict:
     """MERGE one event batch into a LakeTable.
@@ -229,6 +344,15 @@ def apply_batch(
     beyond-reducer-capacity skew; everything else stays on the fused
     single-shuffle plan. The decision is recorded in the returned
     stats under ``salt_decision``.
+
+    ``resolve``: "fused" (default — one payload shuffle, the narrow-row
+    optimum), "keys_first" (resolve winners on a keys-only shuffle +
+    broadcast semi filter; the wide-row optimum — losers' payloads
+    never shuffle), or "auto" (``decide_payload_resolve`` probe; the
+    decision lands in stats under ``resolve_decision``). A salted
+    batch ignores ``resolve`` — salting already pre-shrinks the hot
+    key before any payload shuffle, and the two flags target disjoint
+    regimes (too many rows per key vs too many bytes per row).
 
     ``max_retries``: optimistic-concurrency retries for multi-writer
     estates — a losing race against a concurrent writer (another
@@ -249,22 +373,44 @@ def apply_batch(
         salted = decision["salted"]
         salt_buckets = decision["salt_buckets"]
 
+    resolve_decision = None
+    keys_first = False
+    if not salted:
+        if resolve == "auto":
+            resolve_decision = decide_payload_resolve(
+                events, payload_threshold_bytes=payload_threshold_bytes,
+            )
+            keys_first = resolve_decision["keys_first"]
+        elif resolve == "keys_first":
+            keys_first = True
+        elif resolve != "fused":
+            raise ValueError(f"resolve must be fused|keys_first|auto, got {resolve!r}")
+
     def _merge() -> dict:
         if table.derived_columns and not salted:
             ev = canonicalize(events)
             if "ts" in ev.columns:
                 ev = ev.drop("ts")
+            if keys_first:
+                # pre-shrink to one row per key BEFORE the payload ever
+                # shuffles; merge_cdc's own resolve is then a no-op pass
+                ev = dedup_latest_keys_first(ev)
             return table.merge_cdc(ev, epoch=epoch)
         # the salted route goes through the staged path: the two-phase
         # salted reduction pre-shrinks pathologically hot keys BEFORE
         # the merge shuffle (the north rule's explicit mitigation), at
         # the cost of one extra payload pass
-        staged = stage_batch(events, salted=bool(salted), salt_buckets=salt_buckets)
+        staged = stage_batch(
+            events, salted=bool(salted), salt_buckets=salt_buckets,
+            keys_first=keys_first,
+        )
         return table.merge_cdc(staged, epoch=epoch)
 
     out = with_conflict_retry(_merge, max_retries)
     if decision is not None:
         out = {**out, "salt_decision": decision}
+    if resolve_decision is not None:
+        out = {**out, "resolve_decision": resolve_decision}
     return out
 
 

@@ -289,3 +289,83 @@ def test_apply_batch_conflict_retry(spark, repos_schema, tmp_path, monkeypatch):
     got = (tbl.read().select(COLS).orderBy("repo", "path")
            .toPandas().reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_keys_first_replay_matches_oracle(spark, events, oracle, repos_schema, tmp_path):
+    """resolve='keys_first': winners decided on the keys-only shuffle,
+    payloads semi-filtered map-side — byte-identical final state to
+    the fused path, on BOTH merge routes (staged and derived/fused)."""
+    plain = LakeTable.create(spark, str(tmp_path / "p"), repos_schema, ["repo", "path"], n_buckets=8)
+    R.apply_batch(plain, events, epoch=0, resolve="keys_first")
+    pd.testing.assert_frame_equal(_final(plain), oracle, check_dtype=False)
+    fused = LakeTable.create(
+        spark, str(tmp_path / "f"), repos_schema, ["repo", "path"], n_buckets=8,
+        derived={"content_sha256": ("sha256", "content")},
+    )
+    R.apply_batch(fused, events, epoch=0, resolve="keys_first")
+    pd.testing.assert_frame_equal(_final(fused), oracle, check_dtype=False)
+
+
+def test_decide_payload_resolve_boundary(spark):
+    """Pins the wide-row auto policy's three refusal reasons and the
+    flip, with exact probes (sample_mod=1)."""
+    from etl_spark.cdc.replay import decide_payload_resolve
+
+    wide = spark.range(1000).select(
+        (F.col("id") % 100).cast("string").alias("repo"),
+        F.lit("src/f.rs").alias("path"),
+        F.col("id").alias("seq"),
+        F.repeat(F.lit("x"), 50_000).alias("content"),
+    )
+    d = decide_payload_resolve(wide, sample_mod=1)
+    assert d["keys_first"] is True and d["reason"] == "wide_rows"
+    assert d["est_rows"] == 1000 and 80 <= d["est_keys"] <= 120
+    assert 50_000 <= d["est_avg_row_bytes"] <= 51_000
+    assert d["est_events_per_key"] > 5
+    # narrow rows: the fused single-shuffle plan stays optimal
+    narrow = wide.withColumn("content", F.lit("tiny"))
+    dn = decide_payload_resolve(narrow, sample_mod=1)
+    assert dn["keys_first"] is False and dn["reason"] == "narrow_rows"
+    # wide but append-ish (one event per key): no losers to save
+    uniq = wide.withColumn("repo", F.col("seq").cast("string"))
+    du = decide_payload_resolve(uniq, sample_mod=1)
+    assert du["keys_first"] is False and du["reason"] == "no_losers"
+    # winner set over the broadcast budget: refuse
+    db = decide_payload_resolve(wide, sample_mod=1, broadcast_budget_bytes=100)
+    assert db["keys_first"] is False and db["reason"] == "winner_set_too_big"
+
+
+def test_auto_payload_resolve_end_to_end(spark, events, oracle, repos_schema, tmp_path):
+    """apply_batch(resolve='auto'): stays fused on the ~2KB generator
+    batch under the default 32KB threshold, flips keys_first when the
+    threshold drops beneath the batch's width — same oracle state both
+    ways, decision recorded in the merge stats."""
+    tbl = LakeTable.create(spark, str(tmp_path / "a"), repos_schema, ["repo", "path"], n_buckets=8)
+    st = R.apply_batch(tbl, events, epoch=0, resolve="auto")
+    assert st["resolve_decision"]["keys_first"] is False
+    assert st["resolve_decision"]["reason"] == "narrow_rows"
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+    tb2 = LakeTable.create(spark, str(tmp_path / "b"), repos_schema, ["repo", "path"], n_buckets=8)
+    st2 = R.apply_batch(tb2, events, epoch=0, resolve="auto", payload_threshold_bytes=64)
+    assert st2["resolve_decision"]["keys_first"] is True
+    assert st2["resolve_decision"]["est_events_per_key"] > 1.2
+    pd.testing.assert_frame_equal(_final(tb2), oracle, check_dtype=False)
+
+
+def test_keys_first_plan_prunes_payload_from_resolve(spark, events, tmp_path):
+    """The plan property the path exists for: the winners aggregate's
+    scan reads ONLY (keys, seq) — payload columns pruned — and the
+    filter-back is a broadcast LEFT SEMI, so losers' payloads never
+    enter an exchange."""
+    import re
+
+    wal = str(tmp_path / "wal")
+    events.write.parquet(wal)
+    ev = spark.read.parquet(wal)
+    plan = R.dedup_latest_keys_first(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    if not schemas:  # formatted layout differences across Spark versions
+        schemas = re.findall(r"struct<[^\n]*", plan)
+    pruned = [s for s in schemas if "content" not in s and "seq" in s]
+    assert pruned, f"no payload-pruned resolve scan in plan:\n{plan}"

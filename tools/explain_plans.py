@@ -490,6 +490,38 @@ def main() -> int:
          f"stats: {st19})", checks19)
     )
 
+    # 20. keys-first resolve (the wide-row/multimodal merge path):
+    # the winners aggregate must read ONLY (keys, seq) — payload
+    # columns pruned out of the resolve scan — and the filter-back
+    # must be a broadcast LEFT SEMI, so losing events' payloads are
+    # dropped where they were read and never enter an exchange.
+    from etl_spark.cdc.generator import generate_events
+    from etl_spark.cdc.replay import dedup_latest_keys_first
+
+    wal20 = os.path.join(root, "wal20")
+    generate_events(spark, 5000).write.parquet(wal20)
+    df20 = dedup_latest_keys_first(spark.read.parquet(wal20))
+    p20 = plan_of(df20)
+    checks20 = []
+    if "BroadcastExchange" in p20 and "LeftSemi" in p20:
+        checks20.append("OK winner set broadcasts; payload filter is a "
+                        "map-side LEFT SEMI (no payload shuffle for losers)")
+    else:
+        failures.append("keys_first: no broadcast semi join in plan")
+    schemas20 = re.findall(r"ReadSchema: (struct<[^\n]+)", p20)
+    pruned20 = [s for s in schemas20 if "content" not in s and "seq" in s]
+    if pruned20:
+        checks20.append(
+            "OK resolve scan is payload-pruned: winners aggregate reads "
+            f"only {pruned20[0][:80]}... — the shuffle feeding max(seq) "
+            "moves keys+seq bytes regardless of row width")
+    else:
+        failures.append(f"keys_first: resolve scan not pruned ({schemas20})")
+    sections.append(
+        ("Keys-first resolve: payload-pruned winner shuffle + broadcast semi",
+         p20, checks20)
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan evidence for the hot paths\n\n")
         f.write("Generated by `python tools/explain_plans.py` (asserts the properties; "
