@@ -1602,36 +1602,64 @@ class LakeTable:
                 "mode": m.get("write_mode", "mor"),
                 "delta_buckets": sorted(int(b) for b in out)}
 
-    def compact(self) -> int:
-        """Fold all deltas into the base (the deferred COW merge) —
+    def compact(self, max_restarts: int = 5) -> int:
+        """Fold deltas into the base (the deferred COW merge) —
         PARTIALLY: only buckets some delta actually touches are
         resolved and rewritten; every other base bucket is carried
         forward by manifest pointer. A long-running MOR stream whose
         deltas concentrate on hot buckets compacts in O(touched
         buckets), not O(table) — the same dirty-bucket economics as
-        the COW merge itself. Readers before/after see identical
-        data."""
-        m = self.manifest()
-        if not m.get("deltas"):
-            return m["version"]
-        touched = {
-            int(b) for d in m["deltas"] for b in d["buckets"]
-        }
-        resolved = self.read(buckets=touched, include_tombstones=True).withColumn(
-            _BUCKET, self._bucket_expr(self.key_cols)
+        the COW merge itself. Readers before/after see identical data.
+
+        REBASE-COMMIT (round 5 — stall-free out-of-band maintenance):
+        the fold runs against a PINNED snapshot (the manifest observed
+        at entry), and the commit only re-points manifests. Deltas a
+        concurrent streaming writer appended while the fold ran simply
+        STAY deltas in the committed manifest (the fold never saw
+        them), and losing a version race costs one manifest re-read +
+        re-create — never a recompute. Without this, compact racing a
+        hot committer livelocks: every lost race redid the full
+        O(touched buckets) fold (observed in the 10M drain bench's
+        sidecar, delta depth 20 with one landed compaction). The fold
+        IS redone (bounded by ``max_restarts``) only when the base
+        itself moved underneath — another compact, rebucket, restore,
+        or merge_from — detected by bucket-pointer / delta-prefix
+        comparison against the snapshot."""
+        for _ in range(max_restarts):
+            m0 = self.manifest()
+            deltas0 = m0.get("deltas", [])
+            if not deltas0:
+                return m0["version"]
+            n0 = len(deltas0)
+            touched = {int(b) for d in deltas0 for b in d["buckets"]}
+            resolved = self.read(
+                version=m0["version"], buckets=touched, include_tombstones=True
+            ).withColumn(_BUCKET, self._bucket_expr(self.key_cols))
+            schema = T.StructType.fromJson(m0["schemas"][m0["current_schema_id"]])
+            written = self._write_buckets(resolved, m0["version"] + 1, schema)
+            for ent in written.values():
+                ent["sid"] = m0["current_schema_id"]
+            while True:
+                mc = self.manifest()
+                if (mc.get("buckets") != m0.get("buckets")
+                        or mc.get("deltas", [])[:n0] != deltas0):
+                    break  # base moved (another compact/rebucket/restore): refold
+                new_buckets = dict(mc["buckets"])
+                for b in touched:
+                    new_buckets.pop(str(b), None)  # may end all-deleted
+                new_buckets.update(written)
+                m2 = {**mc, "version": mc["version"] + 1, "parent": mc["version"],
+                      "buckets": new_buckets,
+                      "deltas": list(mc.get("deltas", []))[n0:],
+                      "committed_at": time.time(), "note": "compact"}
+                try:
+                    return self._commit(m2)
+                except CommitConflictError:
+                    continue  # manifest-only retry: re-read, re-point
+        raise CommitConflictError(
+            f"compact: base moved {max_restarts} times under the fold "
+            f"(concurrent compact/rebucket?) at {self.root}"
         )
-        v = m["version"] + 1
-        schema = self.schema()
-        written = self._write_buckets(resolved, v, schema)
-        for ent in written.values():
-            ent["sid"] = m["current_schema_id"]
-        new_buckets = dict(m["buckets"])
-        for b in touched:
-            new_buckets.pop(str(b), None)  # a touched bucket may end all-deleted
-        new_buckets.update(written)
-        m2 = {**m, "version": v, "parent": m["version"], "buckets": new_buckets,
-              "deltas": [], "committed_at": time.time(), "note": "compact"}
-        return self._commit(m2)
 
     def _merge_resolve(self, m, src, new_schema, schemas, sid, epoch, extra_manifest) -> dict:
         seq = self.seq_col

@@ -220,3 +220,81 @@ def test_append_mode_refuses_deletes(spark, tmp_path, repos_schema):
         [("r", "p", "c", "py", "x", "insert", 1)], src), epoch=0)
     assert out["skipped"] is True
     assert t.read().count() == 1
+
+
+def test_compact_rebase_keeps_concurrent_deltas(spark, oracle, tmp_path, monkeypatch):
+    """Rebase-commit compact: a delta landed by a concurrent writer
+    WHILE the fold runs survives as a delta in the committed manifest
+    (the fold pinned its snapshot and never saw it) — no recompute, no
+    lost data, and the final read includes the late rows."""
+    tbl = _mor_table(spark, tmp_path / "t")
+    for i, lo in enumerate(range(0, N, 2000)):
+        R.apply_batch(tbl, generate_events(spark, N, start=lo, end=min(lo + 2000, N)), epoch=i)
+    n_deltas0 = len(tbl.manifest()["deltas"])
+    assert n_deltas0 == 3
+
+    late = spark.createDataFrame(
+        [("orgZ/late", "src/late.rs", "cafebabe", "rust", "fn late() {}", None,
+          "insert", 10_000_000)],
+        "repo string, path string, commit string, lang string, content string, "
+        "content_sha256 string, op string, seq long",
+    )
+    real_wb = tbl._write_buckets
+    hits = {"n": 0}
+
+    def wb(df, version, schema, **kw):
+        hits["n"] += 1
+        if hits["n"] == 1:
+            # concurrent streaming writer commits mid-fold
+            writer = LakeTable(spark, str(tmp_path / "t"))
+            writer.merge_cdc(late, epoch=99)
+        return real_wb(df, version, schema, **kw)
+
+    monkeypatch.setattr(tbl, "_write_buckets", wb)
+    tbl.compact()
+    m = tbl.manifest()
+    assert hits["n"] == 1  # ONE fold — the late delta did not trigger a refold
+    assert len(m["deltas"]) == 1  # the late delta rode through as a delta
+    assert m["buckets"]  # base materialized from the pinned snapshot
+    got = _final(tbl)
+    late_row = got[got["repo"] == "orgZ/late"]
+    assert len(late_row) == 1 and late_row.iloc[0]["path"] == "src/late.rs"
+    rest = got[got["repo"] != "orgZ/late"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(rest, oracle, check_dtype=False)
+    # a second compact folds the survivor in; state is unchanged
+    tbl.compact()
+    assert tbl.manifest()["deltas"] == []
+    assert len(_final(tbl)) == len(got)
+
+
+def test_compact_refolds_when_base_moves(spark, tmp_path, monkeypatch):
+    """If the BASE moved under the fold (another compact), the rebase
+    refuses to re-point stale bucket pointers and refolds from the new
+    snapshot — bounded by max_restarts."""
+    tbl = _mor_table(spark, tmp_path / "t")
+    R.apply_batch(tbl, generate_events(spark, 3000, end=1000), epoch=0)
+    R.apply_batch(tbl, generate_events(spark, 3000, start=1000, end=2000), epoch=1)
+    real_wb = tbl._write_buckets
+    hits = {"n": 0}
+
+    def wb(df, version, schema, **kw):
+        hits["n"] += 1
+        out = real_wb(df, version, schema, **kw)
+        if hits["n"] == 1:
+            # an out-of-band compact wins the race while our fold ran,
+            # and a writer lands one more delta on the new base
+            other = LakeTable(spark, str(tmp_path / "t"))
+            other.compact()
+            R.apply_batch(other, generate_events(spark, 3000, start=2000, end=3000), epoch=2)
+        return out
+
+    monkeypatch.setattr(tbl, "_write_buckets", wb)
+    tbl.compact()
+    # fold ran twice on the outer handle: the stale fold's bucket
+    # pointers were refused (base moved) and the NEW delta was folded
+    # from a fresh snapshot (the injected compact's own write is on a
+    # separate handle, not counted by the monkeypatch)
+    assert hits["n"] == 2
+    assert tbl.manifest()["deltas"] == []
+    exp = oracle_final_state(generate_events(spark, 3000).toPandas())[COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(_final(tbl), exp, check_dtype=False)
