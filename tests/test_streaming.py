@@ -330,3 +330,25 @@ def test_stream_survives_out_of_band_maintenance_races(spark, wal, oracle, repos
         th.join(timeout=30)
     assert outcomes["compacts"] > 0  # the pest really ran against the drain
     pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+
+
+def test_maintenance_sidecar_drains_stall_free(spark, wal, oracle, repos_schema, tmp_path):
+    """MaintenanceSidecar (the recommended streaming maintenance mode):
+    a drain with out-of-band compact+expire converges to the oracle,
+    the sidecar really compacted, the handoff sweep leaves bounded
+    depth, and stats are reported."""
+    from etl_spark.streaming.driver import MaintenanceSidecar
+
+    tbl = LakeTable.create(spark, str(tmp_path / "repos"), repos_schema,
+                           ["repo", "path"], n_buckets=8, write_mode="mor")
+    side = MaintenanceSidecar(tbl, poll_sec=0.2, compact_deltas_over=2).start()
+    stream = CdcStream(tbl, str(tmp_path / "ckpt"), merge_retries=8)
+    try:
+        stream.run_to_completion(spark, wal, max_files_per_trigger=1)
+    finally:
+        stats = side.stop(final_sweep=True)
+    assert stats["compactions"] >= 1
+    assert tbl.manifest()["deltas"] == []  # final sweep folded the tail
+    pd.testing.assert_frame_equal(_final(tbl), oracle, check_dtype=False)
+    with pytest.raises(RuntimeError):
+        MaintenanceSidecar(tbl).start().start()
