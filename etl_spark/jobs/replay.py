@@ -80,10 +80,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "each batch's hottest key and salts only beyond-"
                         "reducer-capacity skew; bare flag / 'on' forces it; "
                         "'off' disables the probe (always fused)")
+    p.add_argument("--resolve", choices=["fused", "keys_first", "auto"],
+                   default="fused",
+                   help="merge resolve plan: 'fused' (one payload shuffle, the "
+                        "narrow-row optimum), 'keys_first' (keys-only winner "
+                        "shuffle + broadcast semi filter — wide/multimodal "
+                        "rows), 'auto' (per-batch row-width probe)")
     p.add_argument("--lineage-ranges", type=int, default=8)
     p.add_argument("--maintain-every", type=int, default=None,
                    help="stream mode: run maintenance (version expiry, MOR "
-                        "compaction) every N applied epochs")
+                        "compaction) INLINE every N applied epochs — prefer "
+                        "--sidecar-maintain, which never stalls an epoch")
+    p.add_argument("--sidecar-maintain", action="store_true",
+                   help="stream mode: run compaction/expiry out-of-band in a "
+                        "sidecar thread (the recommended default for streaming "
+                        "tables; rebase-commit compact makes it race-free "
+                        "against the drain). Equivalent cron form: a second "
+                        "spark-submit with --mode maintain")
     p.add_argument("--keep-versions", type=int, default=4)
     p.add_argument("--pipeline", default=None,
                    help="JSON file declaring downstream derived tables kept "
@@ -347,24 +360,39 @@ def main(argv=None) -> int:
             return 2
         stream = CdcStream(
             table, args.checkpoint, salted=args.salted,
+            resolve=args.resolve,
             lineage_ranges=args.lineage_ranges,
             maintain_every=args.maintain_every,
             keep_versions=args.keep_versions,
+            merge_retries=8 if args.sidecar_maintain else 2,
             downstream=hooks,
         )
-        if args.continuous:
-            q = stream.start(spark, args.wal,
-                             max_files_per_trigger=args.max_files_per_trigger,
-                             available_now=False)
-            q.awaitTermination()
-        else:
-            stream.run_to_completion(
-                spark, args.wal, max_files_per_trigger=args.max_files_per_trigger
-            )
+        side = None
+        if args.sidecar_maintain:
+            from etl_spark.streaming.driver import MaintenanceSidecar
+
+            side = MaintenanceSidecar(
+                table, keep_versions=args.keep_versions
+            ).start()
+        try:
+            if args.continuous:
+                q = stream.start(spark, args.wal,
+                                 max_files_per_trigger=args.max_files_per_trigger,
+                                 available_now=False)
+                q.awaitTermination()
+            else:
+                stream.run_to_completion(
+                    spark, args.wal, max_files_per_trigger=args.max_files_per_trigger
+                )
+        finally:
+            if side is not None:
+                stats = side.stop(final_sweep=not args.continuous)
+                print(f"sidecar maintenance: {stats}", file=sys.stderr)
     else:
         for ep, (files, sch) in enumerate(wal_schema_phases(args.wal)):
             batch = spark.read.schema(sch).parquet(*files)
-            R.apply_batch(table, batch, epoch=ep, salted=args.salted)
+            R.apply_batch(table, batch, epoch=ep, salted=args.salted,
+                          resolve=args.resolve)
             for hook in hooks:
                 hook(table)
 

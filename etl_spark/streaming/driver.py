@@ -131,6 +131,7 @@ class CdcStream:
         table: LakeTable,
         checkpoint_dir: str,
         salted: bool | str = False,
+        resolve: str = "fused",
         lineage_ranges: int = 8,
         maintain_every: int | None = None,
         keep_versions: int = 4,
@@ -164,6 +165,7 @@ class CdcStream:
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.salted = salted
+        self.resolve = resolve
         self.lineage_ranges = lineage_ranges
         self.maintain_every = maintain_every
         self.keep_versions = keep_versions
@@ -277,11 +279,20 @@ class CdcStream:
             salted = R.decide_salt(can)["salted"]
         if salted:
             src = R.with_content_sha256(R.dedup_latest_salted(can))
-        elif self.table.derived_columns:
-            # fused path: one max_by resolves dedup + target union
-            src = can
         else:
-            src = R.with_content_sha256(R.dedup_latest(can))
+            # wide-row escape hatch (resolve="keys_first"/"auto"): decide
+            # winners on a keys-only shuffle so losing events' payloads
+            # never cross an exchange — the multimodal-blob regime
+            keys_first = self.resolve == "keys_first" or (
+                self.resolve == "auto"
+                and R.decide_payload_resolve(can)["keys_first"]
+            )
+            if self.table.derived_columns:
+                # fused path: one max_by resolves dedup + target union
+                src = R.dedup_latest_keys_first(can) if keys_first else can
+            else:
+                dd = R.dedup_latest_keys_first(can) if keys_first else R.dedup_latest(can)
+                src = R.with_content_sha256(dd)
         from etl_spark.lake.table import with_conflict_retry
 
         out = with_conflict_retry(

@@ -382,3 +382,29 @@ def test_replay_job_maintain_mode(spark, tmp_path):
     heal = [r for r in rows if r.get("action") == "rolled_forward"]
     assert heal and heal[0]["applied"] and heal[0]["table"] == "repos"
     assert open(_os.path.join(meta, "CURRENT")).read().strip() == cur
+
+
+def test_replay_job_sidecar_and_keys_first(spark, tmp_path):
+    """Stream mode with --sidecar-maintain --resolve keys_first: the
+    drain converges to the oracle with out-of-band compaction and the
+    wide-row resolve plan; a rerun applies zero new epochs."""
+    from etl_spark.cdc.generator import write_event_log, generate_events, oracle_final_state
+    from etl_spark.jobs.replay import main
+    from etl_spark.lake.table import LakeTable
+
+    wal = str(tmp_path / "wal")
+    tbl = str(tmp_path / "tbl")
+    write_event_log(spark, wal, 4000, files=3)
+    args = ["--wal", wal, "--table", tbl, "--mode", "stream",
+            "--checkpoint", str(tmp_path / "ckpt"), "--n-buckets", "8",
+            "--write-mode", "mor", "--sidecar-maintain",
+            "--resolve", "keys_first", "--max-files-per-trigger", "1"]
+    assert main(args) == 0
+    t = LakeTable(spark, tbl)
+    assert t.manifest()["deltas"] == []  # final sidecar sweep compacted
+    exp = oracle_final_state(generate_events(spark, 4000).toPandas())
+    got = (t.read().select("repo", "path", "content_sha256")
+           .orderBy("repo", "path").toPandas().reset_index(drop=True))
+    assert list(got["content_sha256"]) == list(exp["content_sha256"])
+    assert main(args) == 0  # rerun: every epoch fenced
+    assert t.row_count() == len(exp)
