@@ -110,7 +110,14 @@ def dedup_latest_keys_first(
     The broadcast is one row per DISTINCT key in the batch — bounded
     by batch keys, not events. ``decide_payload_resolve`` guards the
     auto path with a byte budget; callers with >~100M-key batches
-    should split the batch or stay on the fused path."""
+    should split the batch or stay on the fused path.
+
+    NULL keys: a semi join never matches on NULL (SQL semantics), so
+    rows with a NULL key or NULL seq are dropped here, where
+    ``dedup_latest`` would keep them as their own group. Inside
+    ``apply_batch`` this cannot diverge — ``canonicalize`` drops
+    NULL-key rows before any dedup, and seq is the WAL's non-null
+    order column; direct callers must enforce the same."""
     winners = (
         events.select(*keys, seq_col)
         .groupBy(*keys)
