@@ -370,6 +370,20 @@ def apply_batch(
     fail-fast single-writer behavior."""
     from etl_spark.lake.table import with_conflict_retry
 
+    # append-only fact tables take every event AS a row — any
+    # latest-wins pre-shrink (salted or keys-first) would silently
+    # drop facts, so both knobs are inert there (the append write
+    # path's one repartition has no reduce-side sort to protect),
+    # and the staged path below (which dedups) is bypassed entirely
+    append_mode = table.manifest().get("write_mode", "cow") == "append"
+    if append_mode:
+        if salted is True or resolve == "keys_first":
+            raise ValueError(
+                "append-only tables take every event as a row; "
+                "salted/keys_first dedup would drop facts"
+            )
+        salted, resolve = False, "fused"
+
     decision = None
     salt_buckets = 32
     if salted == "auto":
@@ -394,6 +408,14 @@ def apply_batch(
             raise ValueError(f"resolve must be fused|keys_first|auto, got {resolve!r}")
 
     def _merge() -> dict:
+        if append_mode:
+            # no dedup of any kind: every live event is a fact row
+            ev = canonicalize(events)
+            if "ts" in ev.columns:
+                ev = ev.drop("ts")
+            if not table.derived_columns:
+                ev = with_content_sha256(ev)
+            return table.merge_cdc(ev, epoch=epoch)
         if table.derived_columns and not salted:
             ev = canonicalize(events)
             if "ts" in ev.columns:

@@ -298,3 +298,24 @@ def test_compact_refolds_when_base_moves(spark, tmp_path, monkeypatch):
     assert tbl.manifest()["deltas"] == []
     exp = oracle_final_state(generate_events(spark, 3000).toPandas())[COLS].reset_index(drop=True)
     pd.testing.assert_frame_equal(_final(tbl), exp, check_dtype=False)
+
+
+def test_append_mode_dedup_knobs_inert_or_refused(spark, tmp_path, repos_schema):
+    """Append-only tables take every event AS a row: explicit
+    salted/keys_first dedup is refused (it would drop facts), and
+    'auto' forms quietly stay fused with zero rows lost."""
+    from tests.conftest import REPOS_SCHEMA
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), REPOS_SCHEMA, ["repo", "path"], n_buckets=4,
+        write_mode="append",
+    )
+    ev = generate_events(spark, 800).filter(F.lower("op") != "delete")
+    n = ev.count()
+    with pytest.raises(ValueError, match="append-only"):
+        R.apply_batch(tbl, ev, epoch=0, resolve="keys_first")
+    with pytest.raises(ValueError, match="append-only"):
+        R.apply_batch(tbl, ev, epoch=0, salted=True)
+    st = R.apply_batch(tbl, ev, epoch=0, salted="auto", resolve="auto")
+    assert not st.get("salt_decision") and not st.get("resolve_decision")
+    assert tbl.read().count() == n
