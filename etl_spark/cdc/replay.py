@@ -186,10 +186,10 @@ def decide_salt(
     keys: list[str] = KEY,
     seq_col: str = "seq",
     salt_threshold: int = 2_000_000,
-    task_bytes_budget: int = 512 << 20,
+    task_bytes_budget: int = 2 << 30,
     sample_mod: int = 20,
     target_rows_per_task: int = 500_000,
-    target_bytes_per_task: int = 128 << 20,
+    target_bytes_per_task: int = 256 << 20,
     probe_bytes: bool = True,
 ) -> dict:
     """The auto-salt policy (SURVEY.md §7 'salt-width heuristic', now
@@ -200,10 +200,17 @@ def decide_salt(
     dedup when either estimate says ONE reducer's sort is threatened:
 
     - ``est_top_key_rows > salt_threshold`` (row form), or
-    - ``est_top_key_bytes > task_bytes_budget`` (byte form — the real
-      constraint; the round-4 verdict caught the fixed row count
-      leaving a 599k-row × ~2 KB ≈ 1.2 GB hot key fused when the
-      explicitly salted plan measured faster. Bytes are what spill.)
+    - ``est_top_key_bytes > task_bytes_budget`` (byte form — bytes,
+      not rows, are what one reducer's external sort must stream).
+      Default 2 GB, calibrated by measurement: the round-5 best-of-2
+      skew bench has the fused plan BEATING the salted one on a
+      599k-row × ~2 KB ≈ 1.2 GB hot key (5.8s vs 7.3s — the top-1
+      WindowGroupLimit sort streams it; the salted path pays an extra
+      full-payload pass), reversing the single-sample round-4 driver
+      window that first motivated the byte rule. The budget is a
+      capacity guard for keys whose sort would spill-thrash a real
+      executor, not a latency optimizer; ExternalSorter streams
+      multi-GB sorts, so the guard engages only past 2 GB/key.
 
     Below both bounds the fused merge's WindowGroupLimit absorbs the
     hot key with no extra payload pass (bench.py cdc.skew, best-of-2).
@@ -252,7 +259,7 @@ def decide_payload_resolve(
     events: DataFrame,
     keys: list[str] = KEY,
     seq_col: str = "seq",
-    payload_threshold_bytes: int = 32 << 10,
+    payload_threshold_bytes: int = 1 << 20,
     min_events_per_key: float = 1.2,
     broadcast_budget_bytes: int = 256 << 20,
     sample_mod: int = 20,
@@ -270,7 +277,15 @@ def decide_payload_resolve(
 
     Flip to keys-first iff ALL hold:
     - est_avg_row_bytes > ``payload_threshold_bytes`` — narrow rows
-      gain nothing; the fused single-shuffle plan stays optimal;
+      gain nothing; the fused single-shuffle plan stays optimal.
+      The default (1 MB) is calibrated on the measured sandbox, where
+      shuffle is tmpfs memcpy and the fused plan wins best-of-2 up to
+      ~100 KB rows with parity at 1 MB (bench.py
+      ``cdc.payload_scaling``). The threshold models SHUFFLE-BYTE
+      cost, so it is a deployment knob: on a network-shuffled cluster
+      the keys-first saving is real cross-node bytes (~1 - keys/rows
+      of the payload volume) and 32-256 KB is the right range — the
+      bench's ``100KB_net_calibrated`` cell demonstrates the flip;
     - est events/key >= ``min_events_per_key`` — the saving is the
       LOSERS' payloads (1 - keys/rows of the shuffle volume);
     - est winner-set bytes (distinct keys x (key width + 8)) fit
@@ -329,10 +344,10 @@ def apply_batch(
     epoch=None,
     salted: bool | str = False,
     salt_threshold: int = 2_000_000,
-    salt_task_bytes_budget: int = 512 << 20,
+    salt_task_bytes_budget: int = 2 << 30,
     salt_sample_mod: int = 20,
     resolve: str = "fused",
-    payload_threshold_bytes: int = 32 << 10,
+    payload_threshold_bytes: int = 1 << 20,
     max_retries: int = 0,
 ) -> dict:
     """MERGE one event batch into a LakeTable.
@@ -356,7 +371,10 @@ def apply_batch(
     optimum), "keys_first" (resolve winners on a keys-only shuffle +
     broadcast semi filter; the wide-row optimum — losers' payloads
     never shuffle), or "auto" (``decide_payload_resolve`` probe; the
-    decision lands in stats under ``resolve_decision``). A salted
+    decision lands in stats under ``resolve_decision``; tune
+    ``payload_threshold_bytes`` down to ~32-256 KB on network-shuffled
+    clusters — the 1 MB default is sandbox-calibrated, see
+    ``decide_payload_resolve``). A salted
     batch ignores ``resolve`` — salting already pre-shrinks the hot
     key before any payload shuffle, and the two flags target disjoint
     regimes (too many rows per key vs too many bytes per row).

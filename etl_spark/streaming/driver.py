@@ -265,6 +265,10 @@ class CdcStream:
         a cache materializes every column up front)."""
         if self.table.has_epoch(epoch):
             return {"epoch": epoch, "skipped": True}
+        # under spark.scheduler.mode=FAIR, keep ingest in its own pool
+        # (no-op on FIFO sessions); pairs with MaintenanceSidecar's pool
+        self.table.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "ingest")
         can = R.canonicalize(batch)
         if "ts" in can.columns:
             can = can.drop("ts")
@@ -399,6 +403,14 @@ class MaintenanceSidecar:
     def _loop(self) -> None:
         from etl_spark.lake.table import CommitConflictError, with_conflict_retry
 
+        # FAIR-pool isolation: when the session runs with
+        # spark.scheduler.mode=FAIR, maintenance jobs land in their own
+        # pool so a compact shares cores with the drain instead of
+        # serializing ahead of it (local properties are per-thread; a
+        # FIFO session ignores the property). On a real cluster, run
+        # maintenance as its own application instead (--mode maintain).
+        self.table.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "maintenance")
         while not self._stop.is_set():
             try:
                 if len(self.table.manifest().get("deltas", [])) > self.compact_deltas_over:

@@ -317,21 +317,25 @@ def test_decide_payload_resolve_boundary(spark):
         F.col("id").alias("seq"),
         F.repeat(F.lit("x"), 50_000).alias("content"),
     )
-    d = decide_payload_resolve(wide, sample_mod=1)
+    d = decide_payload_resolve(wide, sample_mod=1, payload_threshold_bytes=32 << 10)
     assert d["keys_first"] is True and d["reason"] == "wide_rows"
     assert d["est_rows"] == 1000 and 80 <= d["est_keys"] <= 120
     assert 50_000 <= d["est_avg_row_bytes"] <= 51_000
     assert d["est_events_per_key"] > 5
     # narrow rows: the fused single-shuffle plan stays optimal
     narrow = wide.withColumn("content", F.lit("tiny"))
-    dn = decide_payload_resolve(narrow, sample_mod=1)
+    dn = decide_payload_resolve(narrow, sample_mod=1, payload_threshold_bytes=32 << 10)
     assert dn["keys_first"] is False and dn["reason"] == "narrow_rows"
+    # default threshold is the sandbox-calibrated 1MB: 50KB rows stay fused
+    dd = decide_payload_resolve(wide, sample_mod=1)
+    assert dd["keys_first"] is False and dd["reason"] == "narrow_rows"
     # wide but append-ish (one event per key): no losers to save
     uniq = wide.withColumn("repo", F.col("seq").cast("string"))
-    du = decide_payload_resolve(uniq, sample_mod=1)
+    du = decide_payload_resolve(uniq, sample_mod=1, payload_threshold_bytes=32 << 10)
     assert du["keys_first"] is False and du["reason"] == "no_losers"
     # winner set over the broadcast budget: refuse
-    db = decide_payload_resolve(wide, sample_mod=1, broadcast_budget_bytes=100)
+    db = decide_payload_resolve(wide, sample_mod=1, payload_threshold_bytes=32 << 10,
+                                broadcast_budget_bytes=100)
     assert db["keys_first"] is False and db["reason"] == "winner_set_too_big"
 
 
