@@ -89,6 +89,18 @@ def fresh_spark(cores: int):
     from etl_spark.session import get_spark
 
     os.makedirs(SHM_DIR, exist_ok=True)
+    # FAIR pool weights: ingest outranks maintenance 4:1, so a sidecar
+    # compact trickles through spare slots instead of halving the
+    # draining epoch (equal-share FAIR measured 21.5s epochs vs ~4.5s
+    # median during a co-running compact; FIFO serialized at 50s)
+    alloc = os.path.join(SHM_DIR, "fair-pools.xml")
+    with open(alloc, "w") as f:
+        f.write("""<?xml version="1.0"?>
+<allocations>
+  <pool name="ingest"><schedulingMode>FIFO</schedulingMode><weight>4</weight><minShare>0</minShare></pool>
+  <pool name="maintenance"><schedulingMode>FIFO</schedulingMode><weight>1</weight><minShare>0</minShare></pool>
+</allocations>
+""")
     # ParallelGC: measured ~2x over G1 on this wide-string batch
     # workload. GC threads are capped at the core count so a
     # local[2] measurement really uses ~2 cores (otherwise GC steals
@@ -104,6 +116,7 @@ def fresh_spark(cores: int):
             # (measured: FIFO charged a 50s stall to the concurrent
             # epoch; CdcStream/MaintenanceSidecar set their pools)
             "spark.scheduler.mode": "FAIR",
+            "spark.scheduler.allocation.file": alloc,
             "spark.driver.extraJavaOptions":
                 f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cores, 2)}",
         },
