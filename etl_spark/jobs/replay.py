@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream mode: run maintenance (version expiry, MOR "
                         "compaction) INLINE every N applied epochs — prefer "
                         "--sidecar-maintain, which never stalls an epoch")
+    p.add_argument("--loop-sec", type=float, default=None,
+                   help="maintain mode: repeat the sweep every N seconds "
+                        "until killed (the separate-process maintainer for "
+                        "a streaming estate; omit for the one-shot cron form)")
     p.add_argument("--sidecar-maintain", action="store_true",
                    help="stream mode: run compaction/expiry out-of-band in a "
                         "sidecar thread (the recommended default for streaming "
@@ -242,7 +246,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("etl_spark.replay").getOrCreate()
+    try:
+        # under spark-submit (or an in-process caller with a live
+        # session) the master/conf come from the environment
+        spark = SparkSession.builder.appName("etl_spark.replay").getOrCreate()
+    except Exception:
+        # bare `python jobs/replay.py`: build a local session from the
+        # engine factory ($SPARK_GRAFT_CPUS / $SPARK_DRIVER_MEM)
+        from etl_spark.session import get_spark
+
+        spark = get_spark("etl_spark.replay")
     spark.sparkContext.setLogLevel("WARN")
 
     from etl_spark.cdc import replay as R
@@ -330,18 +343,34 @@ def main(argv=None) -> int:
         # crashed commits, then the manifest-only advise sweep; with
         # --compact the SAFE subset (compact + expire) is applied.
         # --table points at the CATALOG root here, like diff/sql modes.
-        from etl_spark.lake.table import LakeCatalog
+        # --loop-sec N keeps sweeping every N seconds until killed —
+        # the SEPARATE-PROCESS maintainer for streaming estates: its
+        # own JVM means a multi-GB compact's GC and heap never touch
+        # the ingest process (the in-process MaintenanceSidecar can
+        # only share cores fairly, not heaps), and the file-based OCC
+        # protocol already makes the two processes race-safe.
+        from etl_spark.lake.table import CommitConflictError, LakeCatalog
 
-        t0 = time.time()
         cat = LakeCatalog(spark, args.table)
-        report = cat.maintain_all(apply=args.compact, keep_last=args.keep_versions)
-        for row in report:
-            print(json.dumps(row))
-        print(json.dumps({
-            "mode": "maintain", "catalog": args.table, "applied": args.compact,
-            "actions": len(report), "seconds": round(time.time() - t0, 2),
-        }), file=sys.stderr)
-        return 0
+        while True:
+            t0 = time.time()
+            try:
+                report = cat.maintain_all(apply=args.compact,
+                                          keep_last=args.keep_versions)
+            except (CommitConflictError, FileNotFoundError) as e:
+                # lost a race to the live writer / manifest flipped
+                # mid-read: next sweep rebases
+                report = [{"action": "retry", "reason": str(e)[:200],
+                           "applied": False}]
+            for row in report:
+                print(json.dumps(row))
+            print(json.dumps({
+                "mode": "maintain", "catalog": args.table, "applied": args.compact,
+                "actions": len(report), "seconds": round(time.time() - t0, 2),
+            }), file=sys.stderr)
+            if args.loop_sec is None:
+                return 0
+            time.sleep(args.loop_sec)
 
     if not args.wal:
         print("--wal is required in stream/batch modes", file=sys.stderr)
@@ -422,4 +451,9 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
+    # direct-file invocation: put the repo root on sys.path so the
+    # etl_spark package resolves (spark-submit users can also rely on
+    # --py-files / PYTHONPATH)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
     sys.exit(main())
