@@ -310,11 +310,33 @@ def stream_drain_10m_bench(spark, root: str, n_events: int) -> dict:
 
     files, mfpt = 40, 2
     wal = os.path.join(root, "wal10m")
-    write_event_log(spark, wal, n_events, files=files)
     # the drain table lives in its own catalog dir so the maintainer
-    # process (jobs/replay.py --mode maintain --loop-sec) sweeps it
+    # process (jobs/replay.py --mode maintain --loop-sec) sweeps it.
+    # SEPARATE-PROCESS maintainer (the production shape): its own JVM,
+    # so the fold's GC/heap never pauses the ingest JVM — an
+    # IN-PROCESS sidecar thread bounded the stall only at small scale
+    # (at 10M the co-resident fold's GC charged 20-60s to concurrent
+    # epochs through the shared heap, which no scheduler-pool
+    # weighting can fix); an 8-core maintainer with a depth-8 trigger
+    # never landed a fold inside this full-throttle 110s drain. So: 16
+    # cores, depth-5 trigger, and started BEFORE WAL generation so JVM
+    # boot is off the clock — as a long-lived production maintainer's
+    # would be. File-based OCC keeps the two JVMs race-safe (two-JVM
+    # race tests in test_lake.py).
     cat_root = os.path.join(root, "drain_cat")
     os.makedirs(cat_root, exist_ok=True)
+    maint = subprocess.Popen(
+        [sys.executable, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "etl_spark", "jobs", "replay.py"),
+         "--table", cat_root, "--mode", "maintain", "--compact",
+         "--keep-versions", "4", "--loop-sec", "1",
+         "--compact-deltas-over", "5"],
+        env={**os.environ, "SPARK_GRAFT_CPUS": "16",
+             "SPARK_DRIVER_MEM": "12g"},
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    write_event_log(spark, wal, n_events, files=files)
     tbl = _mk_table(spark, cat_root, "drain10m", write_mode="mor")
     # live per-epoch trajectory: a downstream hook fires after every
     # applied epoch; depth comes from the manifest (expiry means a
@@ -327,23 +349,6 @@ def stream_drain_10m_bench(spark, root: str, n_events: int) -> dict:
         depth_by_epoch.append(len(t.manifest().get("deltas", [])))
         epoch_done_ts.append(time.time())
 
-    # SEPARATE-PROCESS maintainer (the production shape): its own JVM
-    # at 8 cores, so a multi-GB compact's GC/heap never pauses the
-    # ingest JVM — measured: an IN-PROCESS sidecar thread bounded the
-    # stall only at small scale; at 10M the co-resident fold's GC
-    # charged 20-60s to concurrent epochs through the shared heap,
-    # which no scheduler-pool weighting can fix. File-based OCC makes
-    # the two JVMs race-safe (two-JVM race tests in test_lake.py).
-    maint = subprocess.Popen(
-        [sys.executable, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "etl_spark", "jobs", "replay.py"),
-         "--table", cat_root, "--mode", "maintain", "--compact",
-         "--keep-versions", "4", "--loop-sec", "1"],
-        env={**os.environ, "SPARK_GRAFT_CPUS": "8",
-             "SPARK_DRIVER_MEM": "8g"},
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-    )
     stream = CdcStream(tbl, os.path.join(root, "chk10m"),
                        merge_retries=8, downstream=[_track])
     t0 = time.time()
@@ -358,7 +363,7 @@ def stream_drain_10m_bench(spark, root: str, n_events: int) -> dict:
     drain = time.time() - t0
     sidecar = {
         "form": "separate process (jobs/replay.py --mode maintain "
-                "--loop-sec 1, own JVM, 8 cores)",
+                "--loop-sec 1 --compact-deltas-over 5, own JVM, 16 cores)",
         "compactions": sum(1 for a, b in zip(depth_by_epoch, depth_by_epoch[1:])
                            if b < a),
     }

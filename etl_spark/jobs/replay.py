@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream mode: run maintenance (version expiry, MOR "
                         "compaction) INLINE every N applied epochs — prefer "
                         "--sidecar-maintain, which never stalls an epoch")
+    p.add_argument("--compact-deltas-over", type=int, default=8,
+                   help="maintain mode: recommend/apply compaction once a MOR "
+                        "delta chain exceeds this depth")
     p.add_argument("--loop-sec", type=float, default=None,
                    help="maintain mode: repeat the sweep every N seconds "
                         "until killed (the separate-process maintainer for "
@@ -355,8 +358,9 @@ def main(argv=None) -> int:
         while True:
             t0 = time.time()
             try:
-                report = cat.maintain_all(apply=args.compact,
-                                          keep_last=args.keep_versions)
+                report = cat.maintain_all(
+                    apply=args.compact, keep_last=args.keep_versions,
+                    compact_deltas_over=args.compact_deltas_over)
             except (CommitConflictError, FileNotFoundError) as e:
                 # lost a race to the live writer / manifest flipped
                 # mid-read: next sweep rebases
