@@ -118,7 +118,8 @@ def fresh_spark(cores: int):
             "spark.scheduler.mode": "FAIR",
             "spark.scheduler.allocation.file": alloc,
             "spark.driver.extraJavaOptions":
-                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cores, 2)}",
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cores, 2)} "
+                "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
         },
     )
 
@@ -333,7 +334,10 @@ def stream_drain_10m_bench(spark, root: str, n_events: int) -> dict:
          "--keep-versions", "4", "--loop-sec", "1",
          "--compact-deltas-over", "5"],
         env={**os.environ, "SPARK_GRAFT_CPUS": "16",
-             "SPARK_DRIVER_MEM": "12g"},
+             "SPARK_DRIVER_MEM": "12g",
+             # JDK default GCLocker retry (2) killed the maintainer JVM
+             # mid-fold under JNI-critical allocation pressure
+             "SPARK_DRIVER_JAVA_OPTS": "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"},
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     write_event_log(spark, wal, n_events, files=files)

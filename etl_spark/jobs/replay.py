@@ -249,13 +249,20 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from pyspark.sql import SparkSession
 
-    try:
-        # under spark-submit (or an in-process caller with a live
-        # session) the master/conf come from the environment
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # in-process caller (tests, notebooks): reuse their session
+        spark = active
+    elif os.environ.get("PYSPARK_GATEWAY_PORT"):
+        # under spark-submit the gateway JVM and its conf (master,
+        # driver memory) already exist — attach to them
         spark = SparkSession.builder.appName("etl_spark.replay").getOrCreate()
-    except Exception:
-        # bare `python jobs/replay.py`: build a local session from the
-        # engine factory ($SPARK_GRAFT_CPUS / $SPARK_DRIVER_MEM)
+    else:
+        # bare `python jobs/replay.py`: the engine factory must build
+        # the session BEFORE any JVM exists — probing with a bare
+        # getOrCreate() here would launch the gateway JVM with default
+        # (1g) heap and the fallback would be stuck with it (observed:
+        # a 12g-configured maintainer OOMing at 1g)
         from etl_spark.session import get_spark
 
         spark = get_spark("etl_spark.replay")

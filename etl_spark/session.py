@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # $SPARK_DRIVER_JAVA_OPTS: extra driver JVM flags (local mode =
+        # the whole JVM). Known need: -XX:GCLockerRetryAllocationCount=64
+        # (preceded by -XX:+UnlockDiagnosticVMOptions) — the JDK default of 2 lets Arrow/netty JNI critical sections
+        # starve a wide-row shuffle's humongous allocations and KILL the
+        # JVM ("Retried waiting for GCLocker too often"), observed on a
+        # 16-thread compact of ~1GB deltas under the default G1.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
